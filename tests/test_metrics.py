@@ -1,0 +1,143 @@
+"""Tests for the on-device metric kernels vs independent numpy references."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+
+
+def _imgs(seed=0, n=2, h=32, w=32, c=3):
+    rng = np.random.RandomState(seed)
+    return (
+        rng.randint(0, 256, (n, h, w, c)).astype(np.float32),
+        rng.randint(0, 256, (n, h, w, c)).astype(np.float32),
+    )
+
+
+class TestPSNR:
+    def test_matches_reference_formula(self):
+        real, fake = _imgs(1)
+        got = np.asarray(ops.psnr(jnp.asarray(real), jnp.asarray(fake)))
+        for i in range(2):
+            mse = np.mean((real[i] - fake[i]) ** 2)
+            want = 20 * np.log10(255.0 / np.sqrt(mse))
+            np.testing.assert_allclose(got[i], want, rtol=1e-5)
+
+    def test_identical_images(self):
+        real, _ = _imgs(2)
+        got = np.asarray(ops.psnr(jnp.asarray(real), jnp.asarray(real)))
+        np.testing.assert_array_equal(got, 100.0)
+
+
+def _ssim_numpy(x, y, data_range=255.0, win=7):
+    """Independent skimage-formula SSIM (uniform filter, ddof-1 covariances)."""
+    from scipy.ndimage import uniform_filter
+
+    np_ = win * win
+    cov_norm = np_ / (np_ - 1)
+    ux = uniform_filter(x, win)
+    uy = uniform_filter(y, win)
+    uxx = uniform_filter(x * x, win)
+    uyy = uniform_filter(y * y, win)
+    uxy = uniform_filter(x * y, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    pad = (win - 1) // 2
+    return s[pad:-pad, pad:-pad].mean()
+
+
+class TestSSIM:
+    def test_matches_skimage_formula_gray(self):
+        real, fake = _imgs(3, c=1)
+        got = np.asarray(ops.ssim(jnp.asarray(real[..., 0]), jnp.asarray(fake[..., 0])))
+        for i in range(2):
+            want = _ssim_numpy(real[i, :, :, 0].astype(np.float64), fake[i, :, :, 0].astype(np.float64))
+            np.testing.assert_allclose(got[i], want, rtol=1e-4)
+
+    def test_multichannel_averages(self):
+        real, fake = _imgs(4)
+        got = np.asarray(ops.ssim(jnp.asarray(real), jnp.asarray(fake)))
+        per_c = [
+            np.asarray(ops.ssim(jnp.asarray(real[..., c]), jnp.asarray(fake[..., c])))
+            for c in range(3)
+        ]
+        np.testing.assert_allclose(got, np.mean(per_c, axis=0), rtol=1e-6)
+
+    def test_identical_is_one(self):
+        real, _ = _imgs(5)
+        got = np.asarray(ops.ssim(jnp.asarray(real), jnp.asarray(real)))
+        np.testing.assert_allclose(got, 1.0, atol=1e-6)
+
+
+class TestBhattacharyya:
+    def test_matches_opencv_formula(self):
+        real, fake = _imgs(6)
+
+        def cv_ref(r, f):
+            def hist(img):
+                q = np.clip(img.astype(np.int64) // 32, 0, 7)
+                idx = q[..., 0] * 64 + q[..., 1] * 8 + q[..., 2]
+                h = np.bincount(idx.ravel(), minlength=512).astype(np.float64)
+                return h / np.linalg.norm(h)
+
+            h1, h2 = hist(r), hist(f)
+            n = 512
+            num = np.sum(np.sqrt(h1 * h2))
+            den = np.sqrt(h1.mean() * h2.mean()) * n
+            return np.sqrt(max(1 - num / den, 0.0))
+
+        got = np.asarray(ops.bhattacharyya(jnp.asarray(real), jnp.asarray(fake)))
+        for i in range(2):
+            np.testing.assert_allclose(got[i], cv_ref(real[i], fake[i]), atol=1e-5)
+
+    def test_identical_is_zero(self):
+        real, _ = _imgs(7)
+        got = np.asarray(ops.bhattacharyya(jnp.asarray(real), jnp.asarray(real)))
+        np.testing.assert_allclose(got, 0.0, atol=1e-3)
+
+
+class TestNCC:
+    def test_matches_reference(self):
+        # calc_NCC.py: (1/(n-1)) * sum(znorm(a) * znorm(b))
+        real, fake = _imgs(8, c=1)
+        a, b = real[..., 0] / 255.0, fake[..., 0] / 255.0
+        got = np.asarray(ops.ncc(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(2):
+            az = (a[i] - a[i].mean()) / a[i].std()
+            bz = (b[i] - b[i].mean()) / b[i].std()
+            want = (az * bz).sum() / (a[i].size - 1)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4)
+
+    def test_self_correlation_is_one(self):
+        real, _ = _imgs(9, c=1)
+        a = real[..., 0] / 255.0
+        got = np.asarray(ops.ncc(jnp.asarray(a), jnp.asarray(a)))
+        np.testing.assert_allclose(got, 1.0, rtol=1e-3)
+
+
+class TestMutualInformation:
+    def test_matches_histogram2d_reference(self):
+        real, fake = _imgs(10, c=1)
+        a, b = real[..., 0] / 255.0, fake[..., 0] / 255.0
+        got = np.asarray(ops.mutual_information(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(2):
+            h, _, _ = np.histogram2d(a[i].ravel(), b[i].ravel(), bins=20)
+            pxy = h / h.sum()
+            px = pxy.sum(axis=1)[:, None]
+            py = pxy.sum(axis=0)[None, :]
+            nz = pxy > 0
+            want = np.sum(pxy[nz] * np.log(pxy[nz] / (px @ py)[nz]))
+            np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-3)
+
+
+class TestFFTMagMSE:
+    def test_zero_for_identical(self):
+        rng = np.random.RandomState(11)
+        x = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        got = np.asarray(ops.fft_mag_mse(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(got, 0.0, atol=1e-6)

@@ -1,0 +1,218 @@
+"""Golden tests for the primitive ops vs torch / PIL / numpy references."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+
+
+def rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+class TestInstanceNorm:
+    def test_matches_torch(self):
+        x = rand(2, 8, 8, 5)
+        got = np.asarray(ops.instance_norm(jnp.asarray(x)))
+        t = torch.nn.InstanceNorm2d(5)(torch.from_numpy(x).permute(0, 3, 1, 2))
+        want = t.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestBlurPool:
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_torch_reference(self, stride):
+        # Emulate antialiased_cnns.BlurPool(filt_size=4): reflect pad (1,2),
+        # depthwise [1,3,3,1] outer kernel / 64, given stride.
+        x = rand(2, 16, 16, 3, seed=1)
+        got = np.asarray(ops.blur_pool(jnp.asarray(x), stride=stride))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        a = torch.tensor([1.0, 3.0, 3.0, 1.0])
+        k = torch.outer(a, a)
+        k = (k / k.sum()).expand(3, 1, 4, 4)
+        xp = F.pad(xt, (1, 2, 1, 2), mode="reflect")
+        want = F.conv2d(xp, k, stride=stride, groups=3).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestQuantize:
+    def test_uint8_torch_semantics(self):
+        x = np.array([-1.0, -0.5, -0.004, 0.0, 0.25, 0.5, 0.999, 1.0], np.float32)
+        got = np.asarray(ops.quantize_uint8_torch(jnp.asarray(x)))
+        want = torch.from_numpy(x).mul(255).byte().numpy().astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_luma_matches_pil(self):
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        want = np.array(Image.fromarray(rgb, "RGB").convert("L")).astype(np.float32)
+        got = np.asarray(ops.luma_pil(jnp.asarray(rgb.astype(np.float32))))
+        np.testing.assert_array_equal(got, want)
+
+    def test_rgb_to_luma_exact_full_path(self):
+        # Normalized [-1,1] image -> ToPILImage -> convert("L") torch+PIL path.
+        rng = np.random.RandomState(4)
+        x = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+        got = np.asarray(ops.rgb_to_luma_uint8(jnp.asarray(x), mode="exact"))
+        for n in range(2):
+            t = torch.from_numpy(x[n]).permute(2, 0, 1)
+            u8 = t.mul(255).byte().permute(1, 2, 0).numpy()
+            want = np.array(Image.fromarray(u8, "RGB").convert("L")).astype(np.float32)
+            np.testing.assert_array_equal(got[n], want)
+
+
+class TestTemperature:
+    def test_matches_reference_lut(self):
+        # Reference: linspace(24,38,256) LUT over the uint8 red channel
+        # (datasets_temp.py:14-35). searchsorted on exact keys == direct index.
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+        T = np.linspace(24, 38, num=256)
+        want = T[img[:, :, 0]]
+        got = np.asarray(ops.temperature_lut_uint8(jnp.asarray(img[None, :, :, 0].astype(np.float32))))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_exact_mode_matches_torch_pil_path(self):
+        rng = np.random.RandomState(6)
+        x = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+        got = np.asarray(ops.temperature_lut(jnp.asarray(x), mode="exact"))
+        T = np.linspace(24, 38, num=256)
+        for n in range(2):
+            t = torch.from_numpy(x[n]).permute(2, 0, 1)
+            u8 = t.mul(255).byte().permute(1, 2, 0).numpy()  # ToPILImage RGB
+            want = T[u8[:, :, 0]]
+            np.testing.assert_allclose(got[n], want, rtol=1e-6)
+
+
+class TestFFT:
+    def test_amp_phase_matches_numpy_reference(self):
+        # FFT_Components.make_components on the PIL grayscale image
+        # (TFCGAN_multigpu_globalFFT.py:244-262).
+        rng = np.random.RandomState(7)
+        x = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        amp, pha = ops.fft_amp_phase(jnp.asarray(x), mode="exact")
+        amp, pha = np.asarray(amp), np.asarray(pha)
+        for n in range(2):
+            t = torch.from_numpy(x[n]).permute(2, 0, 1)
+            u8 = t.mul(255).byte().permute(1, 2, 0).numpy()
+            gray = np.array(Image.fromarray(u8, "RGB").convert("L"))
+            f = np.fft.fftshift(np.fft.rfft2(gray))
+            np.testing.assert_allclose(amp[n], np.abs(f), rtol=2e-5, atol=2e-2)
+            np.testing.assert_allclose(
+                pha[n], np.arctan2(f.imag, f.real), rtol=1e-4, atol=2e-4
+            )
+
+    def test_log_magnitude(self):
+        rng = np.random.RandomState(8)
+        x = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+        got = np.asarray(ops.fft_log_magnitude(jnp.asarray(x), mode="exact"))[0]
+        t = torch.from_numpy(x[0]).permute(2, 0, 1)
+        u8 = t.mul(255).byte().permute(1, 2, 0).numpy()
+        gray = np.array(Image.fromarray(u8, "RGB").convert("L"))
+        want = np.log(np.abs(np.fft.fftshift(np.fft.fft2(gray))))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+class TestPatches:
+    def test_patch16_matches_reference_slices(self):
+        # make_16_patches ordering (TFCGAN_multigpu_patchFFT_16P.py:227-253).
+        x = rand(2, 256, 256, 3, seed=9)
+        got = np.asarray(ops.patch16(jnp.asarray(x)))
+        idx = 0
+        for r in range(4):
+            for c in range(4):
+                want = x[:, r * 64 : (r + 1) * 64, c * 64 : (c + 1) * 64, :]
+                np.testing.assert_array_equal(got[idx], want)
+                idx += 1
+
+    def test_roundtrip(self):
+        x = rand(2, 32, 32, 3, seed=10)
+        for g in (2, 4):
+            p = ops.patchify(jnp.asarray(x), g)
+            back = np.asarray(ops.unpatchify(p, g))
+            np.testing.assert_array_equal(back, x)
+
+
+class TestTriplet:
+    def test_matches_torch(self):
+        a, p, n = rand(2, 3, 8, 8, seed=11), rand(2, 3, 8, 8, seed=12), rand(2, 3, 8, 8, seed=13)
+        got = float(ops.triplet_margin_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n)))
+        tl = torch.nn.TripletMarginLoss(margin=1.0, p=2)
+        want = tl(torch.from_numpy(a), torch.from_numpy(p), torch.from_numpy(n)).item()
+        assert abs(got - want) < 1e-5
+
+
+class TestGanLosses:
+    def test_bce_matches_torch(self):
+        x = rand(3, 16, 16, 1, seed=14)
+        got = float(ops.bce_with_logits(jnp.asarray(x), 0.9))
+        want = torch.nn.BCEWithLogitsLoss()(
+            torch.from_numpy(x), torch.full_like(torch.from_numpy(x), 0.9)
+        ).item()
+        assert abs(got - want) < 1e-6
+
+    def test_relativistic_pair(self):
+        pf = rand(2, 16, 16, 1, seed=15)
+        pr = rand(2, 16, 16, 1, seed=16)
+        g = float(ops.relativistic_g_loss(jnp.asarray(pf), jnp.asarray(pr)))
+        tf_, tr = torch.from_numpy(pf), torch.from_numpy(pr)
+        bce = torch.nn.BCEWithLogitsLoss()
+        want_g = bce(tf_ - tr.detach(), torch.full_like(tf_, 0.9)).item()
+        assert abs(g - want_g) < 1e-6
+        d = float(ops.relativistic_d_loss(jnp.asarray(pr), jnp.asarray(pf)))
+        want_d = 0.5 * (
+            bce(tr - tf_, torch.full_like(tf_, 0.9)).item()
+            + bce(tf_ - tr, torch.zeros_like(tf_)).item()
+        )
+        assert abs(d - want_d) < 1e-6
+
+
+class TestMorphology:
+    def test_cross_gradient_matches_naive(self):
+        x = rand(2, 10, 12, 3, seed=17)
+
+        def naive(img):  # (H, W) plane, cross kernel, geodesic border
+            h, w = img.shape
+            dil = np.full_like(img, -np.inf)
+            ero = np.full_like(img, np.inf)
+            out_d = np.empty_like(img)
+            out_e = np.empty_like(img)
+            for i in range(h):
+                for j in range(w):
+                    vals = [img[i, j]]
+                    if i > 0: vals.append(img[i - 1, j])
+                    if i < h - 1: vals.append(img[i + 1, j])
+                    if j > 0: vals.append(img[i, j - 1])
+                    if j < w - 1: vals.append(img[i, j + 1])
+                    out_d[i, j] = max(vals)
+                    out_e[i, j] = min(vals)
+            return out_d - out_e
+
+        got = np.asarray(ops.morphological_gradient(jnp.asarray(x)))
+        for n in range(2):
+            for c in range(3):
+                np.testing.assert_allclose(got[n, :, :, c], naive(x[n, :, :, c]), atol=1e-6)
+
+
+class TestColor:
+    def test_hsv_roundtrip(self):
+        rng = np.random.RandomState(18)
+        x = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+        hsv = ops.rgb_to_hsv(jnp.asarray(x))
+        back = np.asarray(ops.hsv_to_rgb(hsv))
+        np.testing.assert_allclose(back, x, atol=1e-5)
+
+    def test_jitter_shape_and_range(self):
+        x = jnp.asarray(rand(2, 8, 8, 3, seed=19))
+        x = jnp.tanh(x)
+        out = ops.color_jitter(jax.random.PRNGKey(0), x)
+        assert out.shape == x.shape
+        assert float(jnp.min(out)) >= -1.0 - 1e-6
+        assert float(jnp.max(out)) <= 1.0 + 1e-6
