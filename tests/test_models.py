@@ -1,0 +1,306 @@
+"""Model architecture parity: flax models vs torch replicas of the reference
+structures, with identical weights injected on both sides."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import models
+
+
+# ---------------------------------------------------------------- torch blocks
+class TBlurPool(nn.Module):
+    """antialiased_cnns.BlurPool(filt_size=4) reimplemented for the test."""
+
+    def __init__(self, channels, stride):
+        super().__init__()
+        a = torch.tensor([1.0, 3.0, 3.0, 1.0])
+        k = torch.outer(a, a)
+        self.register_buffer("k", (k / k.sum()).expand(channels, 1, 4, 4))
+        self.stride = stride
+        self.channels = channels
+
+    def forward(self, x):
+        x = F.pad(x, (1, 2, 1, 2), mode="reflect")
+        return F.conv2d(x, self.k, stride=self.stride, groups=self.channels)
+
+
+class TDown(nn.Module):
+    def __init__(self, in_ch, out_ch, normalize=True):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, 4, 1, 1, bias=False)
+        self.norm = nn.InstanceNorm2d(out_ch) if normalize else None
+        self.blur = TBlurPool(out_ch, 2)
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.norm is not None:
+            x = self.norm(x)
+        return self.blur(F.leaky_relu(x, 0.2))
+
+
+class TUp(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = nn.ConvTranspose2d(in_ch, out_ch, 4, 2, 1, bias=False)
+        self.blur = TBlurPool(out_ch, 1)
+        self.norm = nn.InstanceNorm2d(out_ch)
+
+    def forward(self, x, skip):
+        x = F.relu(self.norm(self.blur(self.conv(x))))
+        return torch.cat([x, skip], 1)
+
+
+class TGenerator(nn.Module):
+    """Reference GeneratorUNet structure (dropout off for parity)."""
+
+    def __init__(self, ch=3):
+        super().__init__()
+        self.down1 = TDown(ch, 64, normalize=False)
+        self.down2 = TDown(64, 128)
+        self.down3 = TDown(128, 256)
+        self.down4 = TDown(256, 512)
+        self.down5 = TDown(512, 512, normalize=False)
+        self.down6 = TDown(512, 512)
+        self.up1 = TUp(512, 512)
+        self.up2 = TUp(1024, 512)
+        self.up3 = TUp(1024, 256)
+        self.up4 = TUp(512, 128)
+        self.up5 = TUp(256, 64)
+        self.final_pad = nn.ZeroPad2d((1, 0, 1, 0))
+        self.final_conv = nn.Conv2d(128, ch, 4, padding=1)
+
+    def forward(self, x):
+        d1 = self.down1(x)
+        d2 = self.down2(d1)
+        d3 = self.down3(d2)
+        d4 = self.down4(d3)
+        d5 = self.down5(d4)
+        d6 = self.down6(d5)
+        u1 = self.up1(d6, d5)
+        u2 = self.up2(u1, d4)
+        u3 = self.up3(u2, d3)
+        u4 = self.up4(u3, d2)
+        u5 = self.up5(u4, d1)
+        y = F.interpolate(u5, scale_factor=2, mode="nearest")
+        return torch.tanh(self.final_conv(self.final_pad(y)))
+
+
+def to_torch_conv(flax_kernel):
+    # (kh, kw, in, out) -> (out, in, kh, kw)
+    return torch.from_numpy(np.asarray(flax_kernel).transpose(3, 2, 0, 1).copy())
+
+
+def to_torch_convT(flax_kernel):
+    # (kh, kw, in, out) -> (in, out, kh, kw)
+    return torch.from_numpy(np.asarray(flax_kernel).transpose(2, 3, 0, 1).copy())
+
+
+class TestLayers:
+    def test_conv_transpose_matches_torch(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 8, 8, 5).astype(np.float32)
+        m = models.TorchConvTranspose(7)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(m.apply(params, jnp.asarray(x)))
+        t = nn.ConvTranspose2d(5, 7, 4, 2, 1, bias=False)
+        t.weight.data = to_torch_convT(params["params"]["kernel"])
+        want = t(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+        assert got.shape == want.shape == (2, 16, 16, 7)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_spectral_norm_converges_to_sigma_and_normalizes(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+        m = models.SpectralConv(6)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        params, spectral = variables["params"], variables["spectral"]
+        # run 50 power iterations
+        for _ in range(50):
+            _, upd = m.apply(
+                {"params": params, "spectral": spectral}, x, update_stats=True,
+                mutable=["spectral"],
+            )
+            spectral = upd["spectral"]
+        k = np.asarray(params["kernel"])  # (4,4,3,6)
+        w_mat = k.reshape(-1, 6).T
+        sigma_true = np.linalg.svd(w_mat, compute_uv=False)[0]
+        u, v = np.asarray(spectral["u"]), np.asarray(spectral["v"])
+        sigma = u @ w_mat @ v
+        np.testing.assert_allclose(sigma, sigma_true, rtol=1e-4)
+        # forward == plain conv with kernel/sigma
+        got = np.asarray(m.apply({"params": params, "spectral": spectral}, x))
+        t = nn.Conv2d(3, 6, 4, 1, 1, bias=True)
+        t.weight.data = to_torch_conv(k / sigma)
+        t.bias.data.zero_()
+        want = t(torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestGeneratorUNet:
+    def test_output_shape(self):
+        m = models.GeneratorUNet()
+        x = jnp.zeros((1, 256, 256, 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (1, 256, 256, 3)
+
+    def test_forward_matches_torch_replica(self):
+        m = models.GeneratorUNet()
+        rng = np.random.RandomState(2)
+        x = rng.randn(1, 128, 128, 3).astype(np.float32)
+        params = m.init(jax.random.PRNGKey(1), jnp.asarray(x))["params"]
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+
+        t = TGenerator().eval()
+        for i in range(1, 7):
+            blk = getattr(t, f"down{i}")
+            blk.conv.weight.data = to_torch_conv(params[f"down{i}"]["conv"]["kernel"])
+        for i in range(1, 6):
+            blk = getattr(t, f"up{i}")
+            blk.conv.weight.data = to_torch_convT(params[f"up{i}"]["conv"]["kernel"])
+        t.final_conv.weight.data = to_torch_conv(params["final_conv"]["kernel"])
+        t.final_conv.bias.data = torch.from_numpy(np.asarray(params["final_conv"]["bias"]))
+        with torch.no_grad():
+            want = t(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestPatchDiscriminator:
+    def test_logit_map_shape(self):
+        m = models.PatchDiscriminator()
+        a = jnp.zeros((2, 256, 256, 3))
+        variables = m.init(jax.random.PRNGKey(0), a, a)
+        y = m.apply(variables, a, a)
+        assert y.shape == (2, 16, 16, 1)
+
+    def test_conditional_generator(self):
+        m = models.ConditionalGeneratorUNet()
+        x = jnp.zeros((2, 128, 128, 3))
+        lab = jnp.zeros((2, 9))
+        params = m.init(jax.random.PRNGKey(0), x, lab)
+        y = m.apply(params, x, lab)
+        assert y.shape == (2, 128, 128, 3)
+
+    def test_aux_classifier(self):
+        m = models.AuxClassifierDiscriminator(num_classes=4)
+        a = jnp.zeros((2, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), a, a)
+        logits, probs = m.apply(variables, a, a)
+        assert logits.shape == (2, 4, 4, 1)
+        assert probs.shape == (2, 4)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+class TestMultiDiscriminator:
+    def test_pyramid_shapes(self):
+        m = models.MultiDiscriminator()
+        x = jnp.zeros((2, 128, 128, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(variables, x)
+        assert [o.shape for o in outs] == [(2, 8, 8, 1), (2, 4, 4, 1), (2, 2, 2, 1)]
+
+
+class TestSTN:
+    def test_affine_stn_shapes_and_identity_bias(self):
+        m = models.AffineSTN()
+        a = jnp.zeros((2, 256, 256, 3))
+        variables = m.init(jax.random.PRNGKey(0), a, a, a)
+        out = m.apply(variables, a, a, a)
+        assert out.shape == (2, 256, 256, 3)
+
+    def test_deformable_stn(self):
+        m = models.DeformableSTN()
+        a = jnp.zeros((1, 128, 128, 3))
+        variables = m.init(jax.random.PRNGKey(0), a, a)
+        warped, reg = m.apply(variables, a, a)
+        assert warped[0].shape == (1, 128, 128, 3)
+        # zero-init offset head -> identity warp -> zero smoothness reg
+        assert float(reg) == 0.0
+
+    def test_deformable_stn_identity_warp(self):
+        rng = np.random.RandomState(3)
+        a = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32))
+        m = models.DeformableSTN()
+        variables = m.init(jax.random.PRNGKey(0), a, a)
+        warped, _ = m.apply(variables, a, a)
+        np.testing.assert_allclose(np.asarray(warped[0]), np.asarray(a), atol=1e-4)
+
+
+class TestLPIPS:
+    def test_zero_for_identical_positive_otherwise(self):
+        m = models.LPIPS()
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
+        y = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x, y)
+        d_same = np.asarray(m.apply(params, x, x))
+        d_diff = np.asarray(m.apply(params, x, y))
+        np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+        assert (d_diff > 0).all()
+
+    def test_structure_matches_torch_clone(self):
+        """Inject identical weights into a torch LPIPS clone and compare."""
+        m = models.LPIPS()
+        rng = np.random.RandomState(5)
+        x = np.tanh(rng.randn(1, 32, 32, 3)).astype(np.float32)
+        y = np.tanh(rng.randn(1, 32, 32, 3)).astype(np.float32)
+        variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+        got = float(m.apply(variables, jnp.asarray(x), jnp.asarray(y))[0])
+
+        p = variables["params"]
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+        taps = {2, 4, 7, 10, 13}
+        layers, conv_idx = [], 0
+        torch_convs = {}
+        for item in cfg:
+            if item == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+                continue
+            conv_idx += 1
+            c = nn.Conv2d(3 if conv_idx == 1 else prev, item, 3, padding=1)
+            c.weight.data = to_torch_conv(p["vgg"][f"conv{conv_idx}"]["kernel"])
+            c.bias.data = torch.from_numpy(np.asarray(p["vgg"][f"conv{conv_idx}"]["bias"]))
+            torch_convs[conv_idx] = len(layers)
+            layers.append(c)
+            layers.append(nn.ReLU())
+            prev = item
+        seq = nn.Sequential(*layers).eval()
+
+        def feats(img):
+            out, fs, ci = img, [], 0
+            for layer in seq:
+                out = layer(out)
+                if isinstance(layer, nn.Conv2d):
+                    ci += 1
+                if isinstance(layer, nn.ReLU) and ci in taps:
+                    fs.append(out)
+            return fs
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        xt = (torch.from_numpy(x).permute(0, 3, 1, 2) - shift) / scale
+        yt = (torch.from_numpy(y).permute(0, 3, 1, 2) - shift) / scale
+        with torch.no_grad():
+            fx, fy = feats(xt), feats(yt)
+            total = 0.0
+            for i, (a, b) in enumerate(zip(fx, fy)):
+                na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                w = torch.from_numpy(np.abs(np.asarray(p[f"lin{i}"]))).view(1, -1, 1, 1)
+                total += ((na - nb).pow(2) * w).sum(1).mean().item()
+        assert abs(got - total) < 5e-4 * max(1.0, abs(total))
+
+
+class TestResNetGenerator:
+    def test_shape(self):
+        m = models.ResNetGenerator(num_blocks=2)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (1, 64, 64, 3)

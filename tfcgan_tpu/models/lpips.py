@@ -1,0 +1,96 @@
+"""LPIPS perceptual metric (VGG16 backbone), in Flax.
+
+The reference uses ``lpips_pytorch.LPIPS(net_type='vgg', version='0.1')`` as
+its heaviest loss term (``/root/reference/TFC-GAN-FFT/
+TFCGAN_multigpu_globalFFT.py:71-74,492``). Faithful structure:
+
+1. input scaling: x_scaled = (x - shift) / scale with the published LPIPS
+   constants (x in [-1, 1]),
+2. VGG16 features at relu1_2 / relu2_2 / relu3_3 / relu4_3 / relu5_3,
+3. channel-wise unit-normalize each feature map,
+4. squared difference -> non-negative 1x1 "lin" calibration conv -> spatial
+   mean -> sum over the 5 layers.
+
+Pretrained VGG16 + lin weights cannot be downloaded in this environment
+(zero egress); ``tools/convert_lpips.py`` converts them from torch checkpoints
+when available. Until then params are seeded-random — the *structure* is
+verified against a torch clone in tests (same weights injected both sides),
+and random-VGG LPIPS still functions as a perceptual loss.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Published LPIPS input scaling constants.
+_SHIFT = jnp.asarray([-0.030, -0.088, -0.188])
+_SCALE = jnp.asarray([0.458, 0.448, 0.450])
+
+# VGG16 conv plan: (out_channels, pool_before)
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+# Indices (into conv counts) after which LPIPS taps features: relu1_2=conv2,
+# relu2_2=conv4, relu3_3=conv7, relu4_3=conv10, relu5_3=conv13.
+_TAPS = {2, 4, 7, 10, 13}
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 conv tower returning the 5 LPIPS feature taps."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        feats = []
+        conv_idx = 0
+        h = x.astype(self.dtype)
+        for item in _VGG_CFG:
+            if item == "M":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                continue
+            conv_idx += 1
+            h = nn.Conv(
+                item, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                name=f"conv{conv_idx}",
+            )(h)
+            h = nn.relu(h)
+            if conv_idx in _TAPS:
+                feats.append(h)
+        return feats
+
+
+def _unit_normalize(f: jax.Array, eps: float = 1e-10) -> jax.Array:
+    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
+    return f / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """d(x, y) for x, y in [-1, 1], NHWC. Returns (N,) distances."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        sx = ((x - _SHIFT) / _SCALE).astype(self.dtype)
+        sy = ((y - _SHIFT) / _SCALE).astype(self.dtype)
+        net = VGG16Features(dtype=self.dtype, name="vgg")
+        fx = net(sx)
+        fy = net(sy)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            d = jnp.square(_unit_normalize(a.astype(jnp.float32)) - _unit_normalize(b.astype(jnp.float32)))
+            w = self.param(
+                f"lin{i}", nn.initializers.uniform(scale=0.1),
+                (LPIPS_CHANNELS[i],), jnp.float32,
+            )
+            # non-negative calibration weights, as in the published model
+            d = jnp.sum(d * jnp.abs(w), axis=-1)
+            total = total + jnp.mean(d, axis=(1, 2))
+        return total
+
+
+def lpips_loss(module: LPIPS, params, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Mean LPIPS over the batch — the form used inside the G loss."""
+    return jnp.mean(module.apply(params, x, y))

@@ -1,0 +1,217 @@
+"""Spatial transformer networks: the ViT-affine STN (flagship) and the
+NeMAR-style deformable STN.
+
+- ``LocalizerViT`` + ``AffineSTN``: rebuild of ``Net`` in
+  ``/root/reference/TFC-STN/TFCGAN_STN21_Original_NewModel3_Official.py:172-232``:
+  ViT over the (img_A, img_B) 6-channel concat -> flatten 17×768 tokens ->
+  MLP 1024-512-256(+sigmoid)-6 -> dtheta; theta = dtheta + identity; warp the
+  source with bicubic/border grid_sample (align_corners=True). The reference's
+  per-sample Python loop over the batch becomes one batched warp.
+- ``CNNAffineSTN``: NeMAR's conv AffineNetwork
+  (``/root/reference/nemar/models/stn/affine_stn.py:23-105``): 5 conv-pool
+  blocks -> MLP -> dtheta (last layer ~zero-init), bilinear/zeros warp
+  (align_corners=False), L1(dtheta) regularization.
+- ``DeformableSTN``: NeMAR's UnetSTN (``unet_stn.py:28-201``): a ResUnet
+  predicts a dense 2-channel offset field added to the identity grid, with
+  bilateral smoothness regularization (``stn_losses.py:4-30``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu.models.layers import TorchConv
+from tfcgan_tpu.models.vit import ViT
+from tfcgan_tpu.ops.norm import instance_norm
+from tfcgan_tpu.ops.warp import affine_grid, grid_sample, warp_affine
+
+IDENTITY_THETA = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)
+
+
+class LocalizerViT(nn.Module):
+    """ViT(patch 64, in=6ch) localizer (``:150-165``)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return ViT(patch_size=64, dtype=self.dtype, name="vit")(x)
+
+
+class AffineSTN(nn.Module):
+    """The flagship STN ``Net``: predicts theta from (img_A, img_B), warps src."""
+
+    dtype: jnp.dtype = jnp.float32
+    mode: str = "bicubic"
+    padding_mode: str = "border"
+
+    @nn.compact
+    def theta(self, img_a: jax.Array, img_b: jax.Array) -> jax.Array:
+        x = jnp.concatenate([img_a, img_b], axis=-1)
+        tokens = LocalizerViT(dtype=self.dtype, name="localization")(x)
+        flat = tokens.reshape(tokens.shape[0], -1)
+        h = nn.Dense(1024, dtype=self.dtype, name="fc1")(flat)
+        h = nn.relu(h)
+        h = nn.Dense(512, dtype=self.dtype, name="fc2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(256, dtype=self.dtype, name="fc3")(h)
+        h = nn.sigmoid(h)
+        dtheta = nn.Dense(6, dtype=self.dtype, name="fc4")(h)
+        theta = dtheta.astype(jnp.float32) + IDENTITY_THETA[None, :]
+        return theta.reshape(-1, 2, 3)
+
+    def __call__(self, img_a: jax.Array, img_b: jax.Array, src: jax.Array) -> jax.Array:
+        theta = self.theta(img_a, img_b)
+        return warp_affine(
+            src, theta, mode=self.mode, padding_mode=self.padding_mode,
+            align_corners=True,
+        ).astype(src.dtype)
+
+
+class CNNAffineSTN(nn.Module):
+    """NeMAR AffineNetwork/AffineSTN ('A' config): returns (warped list, reg)."""
+
+    nconvs: int = 5
+    nf0: int = 32
+    max_nf: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, img_a: jax.Array, img_b: jax.Array, apply_on: list[jax.Array] | None = None
+    ) -> tuple[list[jax.Array], jax.Array]:
+        x = jnp.concatenate([img_a, img_b], axis=-1).astype(self.dtype)
+        nf = self.nf0
+        for i in range(self.nconvs):
+            x = TorchConv(
+                nf, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name=f"conv{i}",
+            )(x)
+            x = instance_norm(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            nf = min(2 * nf, self.max_nf)
+        flat = x.reshape(x.shape[0], -1)
+        h = nn.Dense(nf, dtype=self.dtype, name="fc1")(flat)
+        h = nn.relu(h)
+        dtheta = nn.Dense(
+            6, kernel_init=nn.initializers.normal(5e-4),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="fc2",
+        )(h)
+        theta = (dtheta.astype(jnp.float32) + IDENTITY_THETA[None, :]).reshape(-1, 2, 3)
+        if apply_on is None:
+            apply_on = [img_a]
+        warped = []
+        for img in apply_on:
+            n, h_, w_, _ = img.shape
+            grid = affine_grid(theta, (n, h_, w_), align_corners=False)
+            warped.append(
+                grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
+                            align_corners=False).astype(img.dtype)
+            )
+        reg = jnp.mean(jnp.abs(dtheta.astype(jnp.float32)))
+        return warped, reg
+
+
+class _ResBlock(nn.Module):
+    feats: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = TorchConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="c1")(x)
+        h = nn.relu(h)
+        h = TorchConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="c2")(h)
+        return x + h
+
+
+class DeformableSTN(nn.Module):
+    """ResUnet offset-field STN ('A' config, simplified faithfully):
+    7 down blocks (32,64×6) -> 1x1 bottleneck with 3 res-blocks -> 7 up blocks
+    with skip concats -> refine -> 2-channel offset map (zero-init).
+
+    Returns (warped list, smoothness regularization term).
+    """
+
+    down_nf: tuple[int, ...] = (32, 64, 64, 64, 64, 64, 64)
+    up_nf: tuple[int, ...] = (64, 64, 64, 64, 64, 64, 32)
+    res_blocks: int = 3
+    alpha: float = 0.0  # bilateral weighting on the smoothness loss
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, img_a: jax.Array, img_b: jax.Array, apply_on: list[jax.Array] | None = None
+    ) -> tuple[list[jax.Array], jax.Array]:
+        x = jnp.concatenate([img_a, img_b], axis=-1).astype(self.dtype)
+        n, hh, ww, _ = x.shape
+        skips = []
+        for i, nf in enumerate(self.down_nf):
+            x = TorchConv(nf, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, name=f"down{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        nf = self.down_nf[-1]
+        x = TorchConv(2 * nf, kernel_size=(1, 1), padding=((0, 0), (0, 0)),
+                      dtype=self.dtype, name="c1")(x)
+        x = nn.leaky_relu(x, 0.2)
+        for i in range(self.res_blocks):
+            x = _ResBlock(2 * nf, dtype=self.dtype, name=f"res{i}")(x)
+        x = TorchConv(nf, kernel_size=(1, 1), padding=((0, 0), (0, 0)),
+                      dtype=self.dtype, name="c2")(x)
+        x = nn.leaky_relu(x, 0.2)
+        for i, nf_up in enumerate(self.up_nf):
+            s = skips[-(i + 1)]
+            x = jax.image.resize(x, (n, s.shape[1], s.shape[2], x.shape[-1]), "bilinear")
+            x = jnp.concatenate([x, s], axis=-1)
+            x = TorchConv(nf_up, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, name=f"up{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = _ResBlock(self.up_nf[-1], dtype=self.dtype, name="refine_res")(x)
+        x = TorchConv(self.up_nf[-1], kernel_size=(1, 1), padding=((0, 0), (0, 0)),
+                      dtype=self.dtype, name="refine_conv")(x)
+        x = nn.leaky_relu(x, 0.2)
+        offset = TorchConv(
+            2, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="offset",
+        )(x).astype(jnp.float32)
+
+        # identity grid in normalized coords (align_corners=False), + offsets
+        base = affine_grid(
+            jnp.broadcast_to(IDENTITY_THETA.reshape(1, 2, 3), (n, 2, 3)),
+            (n, hh, ww), align_corners=False,
+        )
+        grid = base + offset
+        if apply_on is None:
+            apply_on = [img_a]
+        warped = [
+            grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False).astype(img.dtype)
+            for img in apply_on
+        ]
+        reg = smoothness_loss(offset, img_b, alpha=self.alpha)
+        return warped, reg
+
+
+def smoothness_loss(offset: jax.Array, img: jax.Array, alpha: float = 0.0) -> jax.Array:
+    """NeMAR ``stn_losses.smoothness_loss``: mean absolute 4-direction total
+    variation of the offset field, optionally bilateral-weighted by image
+    gradients (weight = exp(-alpha * |∇img|), ``stn_losses.py:4-30``).
+    offset: (N, H, W, 2); img: (N, H, W, C).
+    """
+    def tv(d, axis):
+        return jnp.abs(jnp.diff(d, axis=axis))
+
+    dy = tv(offset, 1)  # (N, H-1, W, 2)
+    dx = tv(offset, 2)  # (N, H, W-1, 2)
+    if alpha > 0:
+        iy = jnp.mean(jnp.abs(jnp.diff(img, axis=1)), axis=-1, keepdims=True)
+        ix = jnp.mean(jnp.abs(jnp.diff(img, axis=2)), axis=-1, keepdims=True)
+        dy = dy * jnp.exp(-alpha * iy)
+        dx = dx * jnp.exp(-alpha * ix)
+    return jnp.mean(dy) + jnp.mean(dx)
