@@ -1,0 +1,74 @@
+"""Benchmark: images/sec/chip for the flagship FFT-GLO GAN train step at 256².
+
+Runs on whatever accelerator JAX exposes (the driver provides one real TPU
+chip). Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline context: the reference trains FFT-GLO with nn.DataParallel over 2
+GPUs at batch 32 with per-sample host FFT/temperature round-trips
+(SURVEY.md §3.1); BASELINE.md's north star is ">=5x a V100 baseline".
+No V100 number is published anywhere in the reference, so V100_IMG_PER_SEC
+below is an estimate for the same step (U-Net G fwd+bwd, D fwd+bwd x2, LPIPS,
+host FFT loop) on one V100 — documented so the ratio is reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+V100_IMG_PER_SEC = 30.0  # estimated reference throughput per V100 (see above)
+
+BATCH = 32
+SIZE = 256
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+
+    from tfcgan_tpu.config import get_experiment
+    from tfcgan_tpu.data.synth import synthetic_batch
+    from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+    from tfcgan_tpu.recipes import build_recipe
+    from tfcgan_tpu.train.trainer import Trainer
+
+    n_dev = jax.device_count()
+    cfg = get_experiment("fft_glo")
+    cfg = cfg.replace(
+        data=cfg.data.__class__(batch_size=BATCH, image_size=SIZE),
+        train=cfg.train.__class__(compute_dtype="bfloat16"),
+    )
+    recipe = build_recipe(cfg)
+    trainer = Trainer(cfg, recipe, mesh=make_mesh())
+    batch = shard_batch(synthetic_batch(batch_size=BATCH, image_size=SIZE), trainer.mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), synthetic_batch(batch_size=BATCH, image_size=SIZE))
+    step = trainer.compiled_step()
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * ITERS / dt
+    img_per_sec_chip = img_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "fft_glo_train_images_per_sec_per_chip_256",
+                "value": round(img_per_sec_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_chip / V100_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

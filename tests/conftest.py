@@ -16,6 +16,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the trainer tests compile full GAN steps,
+# which is minutes of XLA time on CPU — cache across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest
 

@@ -1,0 +1,167 @@
+"""Command-line interface.
+
+One CLI replaces the reference's per-script argparse + bash launcher matrix
+(``TFC-GAN-FFT/bash/*.sh``, SURVEY.md §5.6):
+
+    python -m tfcgan_tpu.cli train --experiment fft_glo --data-root ... \
+        --batch-size 32 --n-epochs 201
+    python -m tfcgan_tpu.cli test  --experiment fft_glo --checkpoint ... \
+        --data-root ... --out-dir results/
+    python -m tfcgan_tpu.cli eval  --fake-dir ... --real-dir ... --out-csv ...
+    python -m tfcgan_tpu.cli prep-combine --dir-a ... --dir-b ... --dir-ab ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def _cfg_from_args(args):
+    from tfcgan_tpu.config import get_experiment
+
+    cfg = get_experiment(args.experiment)
+    data = cfg.data.__class__(
+        root=args.data_root or cfg.data.root,
+        batch_size=args.batch_size or cfg.data.batch_size,
+        image_size=args.image_size or cfg.data.image_size,
+        direction=args.direction or cfg.data.direction,
+    )
+    train = cfg.train.__class__(
+        n_epochs=args.n_epochs or cfg.train.n_epochs,
+        sample_interval=cfg.train.sample_interval,
+        checkpoint_interval=args.checkpoint_interval or cfg.train.checkpoint_interval,
+        compute_dtype=args.dtype or cfg.train.compute_dtype,
+        checkpoint_dir=args.out_dir or cfg.train.checkpoint_dir,
+        log_dir=os.path.join(args.out_dir or ".", "logs"),
+    )
+    return cfg.replace(data=data, train=train)
+
+
+def cmd_train(args):
+    from tfcgan_tpu.data.pairs import PairedImageDataset, batch_iterator
+    from tfcgan_tpu.recipes import build_recipe
+    from tfcgan_tpu.train.checkpoint import save_checkpoint
+    from tfcgan_tpu.train.log import JsonlLogger
+    from tfcgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg_from_args(args)
+    recipe = build_recipe(cfg)
+    ds = PairedImageDataset(cfg.data.root, "train", cfg.data.image_size, cfg.data.direction)
+    steps_per_epoch = len(ds) // cfg.data.batch_size
+    logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
+    trainer = Trainer(cfg, recipe, logger=logger)
+    it = batch_iterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
+    first = next(it)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
+    state = trainer.fit(state, [first])  # step 0
+
+    for epoch in range(cfg.train.n_epochs):
+        state = trainer.fit(state, it, num_steps=steps_per_epoch)
+        if cfg.train.checkpoint_interval > 0 and epoch % cfg.train.checkpoint_interval == 0:
+            path = save_checkpoint(cfg.train.checkpoint_dir, state)
+            print(f"\n[epoch {epoch}] checkpoint -> {path}")
+    save_checkpoint(cfg.train.checkpoint_dir, state)
+
+
+def cmd_test(args):
+    from tfcgan_tpu.data.pairs import PairedImageDataset, batch_iterator
+    from tfcgan_tpu.infer import Inferencer
+    from tfcgan_tpu.recipes import build_recipe
+    from tfcgan_tpu.train.checkpoint import restore_checkpoint
+    from tfcgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg_from_args(args)
+    recipe = build_recipe(cfg)
+    ds = PairedImageDataset(cfg.data.root, "test", cfg.data.image_size, cfg.data.direction)
+    trainer = Trainer(cfg, recipe)
+    # template defines only the state pytree structure; batch size just has to
+    # divide the mesh, so use a synthetic batch of device_count
+    from tfcgan_tpu.data.synth import synthetic_batch
+
+    first = synthetic_batch(
+        batch_size=jax.device_count(), image_size=cfg.data.image_size,
+        with_labels=cfg.loss.conditional,
+    )
+    template = trainer.init_state(jax.random.PRNGKey(0), first)
+    state = restore_checkpoint(args.checkpoint, jax.device_get(template))
+    inf = Inferencer(cfg, recipe, state.g_params)
+    n = inf.run_test_set(
+        batch_iterator(ds, args.batch_size or 8, shuffle=False, epochs=1),
+        args.out_dir, save_spectra=args.spectra,
+    )
+    print(f"wrote {n} stacks to {args.out_dir}")
+
+
+def cmd_eval(args):
+    from tfcgan_tpu.evaluation.suite import evaluate_dirs
+
+    df = evaluate_dirs(args.fake_dir, args.real_dir, args.out_csv)
+    means = df.drop(columns=["file"]).mean()
+    print(means.to_string())
+
+
+def cmd_prep_combine(args):
+    from tfcgan_tpu.data.prep import combine_a_and_b
+
+    n = combine_a_and_b(args.dir_a, args.dir_b, args.dir_ab)
+    print(f"combined {n} pairs -> {args.dir_ab}")
+
+
+def cmd_prep_crop(args):
+    from tfcgan_tpu.data.prep import crop_stacks
+
+    n = crop_stacks(args.stack_dir, args.out_root, args.roles.split(","))
+    print(f"cropped {n} stacks -> {args.out_root}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tfcgan_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--experiment", default="fft_glo")
+    common.add_argument("--data-root", default=None)
+    common.add_argument("--batch-size", type=int, default=None)
+    common.add_argument("--image-size", type=int, default=None)
+    common.add_argument("--n-epochs", type=int, default=None)
+    common.add_argument("--checkpoint-interval", type=int, default=None)
+    common.add_argument("--direction", default=None, choices=[None, "AtoB", "BtoA"])
+    common.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
+    common.add_argument("--out-dir", default="runs")
+
+    sp = sub.add_parser("train", parents=[common])
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("test", parents=[common])
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--spectra", action="store_true")
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--fake-dir", required=True)
+    sp.add_argument("--real-dir", required=True)
+    sp.add_argument("--out-csv", default=None)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("prep-combine")
+    sp.add_argument("--dir-a", required=True)
+    sp.add_argument("--dir-b", required=True)
+    sp.add_argument("--dir-ab", required=True)
+    sp.set_defaults(fn=cmd_prep_combine)
+
+    sp = sub.add_parser("prep-crop")
+    sp.add_argument("--stack-dir", required=True)
+    sp.add_argument("--out-root", required=True)
+    sp.add_argument("--roles", default="real_A,fake_B,real_B")
+    sp.set_defaults(fn=cmd_prep_crop)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

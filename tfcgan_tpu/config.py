@@ -1,0 +1,172 @@
+"""Typed configuration tree.
+
+Replaces the reference's per-script argparse blocks with hard-coded paths and
+magic numbers (SURVEY.md §5.6: ``TFCGAN_multigpu_globalFFT.py:26-46,55-56``)
+with one dataclass tree + an experiment registry. Defaults mirror the
+canonical training configs (``bash/1103_DEVCOMAO5_TFCGANFFT16P.sh``: 256²,
+batch 32, Adam 2e-4 β=(0.5, 0.999), label smoothing 0.9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    # "constant" | "linear_decay" (CycleGAN/NeMAR LambdaLR)
+    schedule: str = "constant"
+    decay_start_epoch: int = 100
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    root: str = ""
+    dataset_name: str = "synthetic"
+    batch_size: int = 32
+    image_size: int = 256
+    channels: int = 3
+    # extra dataset roots for balanced multi-dataset training (ED/EA recipes)
+    extra_roots: tuple[str, ...] = ()
+    direction: str = "AtoB"  # or "BtoA"
+    num_workers: int = 8
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss-recipe switches covering the reference script matrix (SURVEY §2.1)."""
+
+    adv_weight: float = 0.5
+    label_smooth: float = 0.9
+    # perceptual
+    use_lpips: bool = True
+    lpips_weight: float = 0.5
+    # patch triplet
+    patch_grid: int = 2  # 2 -> 4 patches, 4 -> 16 patches, 0 -> off
+    triplet_weight: float = 1.0
+    # temperature triplet
+    use_temp: bool = True
+    temp_weight: float = 0.5
+    temp_lambda: float = 10.0
+    # Fourier losses: "global" | "patch" | "off"
+    fft_mode: str = "global"
+    fft_grid: int = 1  # 1 = whole image; 2 = 4 patches; 4 = 16 patches
+    fft_weight: float = 0.01
+    # "exact" = reference parity (uint8 quantize, zero grad);
+    # "smooth" = differentiable (recommended on TPU)
+    fft_quantize: str = "smooth"
+    temp_quantize: str = "smooth"
+    # regional FFT loss (withregion variants): "off" | "l1" | "kl"
+    region_fft: str = "off"
+    region_fft_weight: float = 1e-4
+    # debiased family
+    conditional: bool = False
+    num_classes: int = 4
+    ce_weight: float = 1.0
+    d_loss_weight: float = 0.5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    n_epochs: int = 201
+    steps_per_epoch: int | None = None  # derived from dataset if None
+    seed: int = 42
+    sample_interval: int = 200
+    checkpoint_interval: int = 100
+    log_interval: int = 10
+    compute_dtype: str = "bfloat16"  # replaces AMP fp16 + GradScaler
+    checkpoint_dir: str = "checkpoints"
+    sample_dir: str = "samples"
+    log_dir: str = "logs"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data_axis: str = "data"
+    # device count is discovered at runtime; set to pin a sub-mesh
+    num_devices: int | None = None
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "fft_glo"
+    recipe: str = "tfcgan"  # tfcgan | stn | cyclegan | thermalgan | nemar | diffusion
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _loss(**kw) -> LossConfig:
+    return LossConfig(**kw)
+
+
+# ----------------------------------------------------------------- registry
+# One entry per reference trainer script (SURVEY.md §2.1/§2.2) — the 30-script
+# duplication becomes a dict of loss configs.
+EXPERIMENTS: dict[str, ExperimentConfig] = {}
+
+
+def register(cfg: ExperimentConfig) -> ExperimentConfig:
+    EXPERIMENTS[cfg.name] = cfg
+    return cfg
+
+
+# TFC-GAN FFT family (TFC-GAN-FFT/)
+register(ExperimentConfig(name="fft_glo", loss=_loss(fft_mode="global", patch_grid=2)))
+register(ExperimentConfig(name="fft_glo_16p", loss=_loss(fft_mode="global", patch_grid=4)))
+register(ExperimentConfig(name="fft_patch_4", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2)))
+register(ExperimentConfig(name="fft_patch_16", loss=_loss(fft_mode="patch", fft_grid=4, patch_grid=4)))
+register(ExperimentConfig(name="original_16p", loss=_loss(fft_mode="off", patch_grid=4)))
+register(ExperimentConfig(name="fft_patch_region", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="l1")))
+register(ExperimentConfig(name="fft_patch_region_kl", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="kl")))
+register(ExperimentConfig(name="fft_patch_debiased", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, conditional=True)))
+# favtgan lineage (TFC-GAN-FFT/src/) — pre-FFT base models and ablations
+register(ExperimentConfig(name="triptemp_base", loss=_loss(fft_mode="off", patch_grid=2)))
+register(ExperimentConfig(name="triptemp_16p", loss=_loss(fft_mode="off", patch_grid=4)))
+register(ExperimentConfig(name="ablation_nopatch", loss=_loss(fft_mode="off", patch_grid=0)))
+register(ExperimentConfig(name="ablation_noperc", loss=_loss(fft_mode="off", patch_grid=4, use_lpips=False)))
+register(ExperimentConfig(name="ablation_notemp", loss=_loss(fft_mode="off", patch_grid=4, use_temp=False)))
+# STN family (TFC-STN/)
+register(ExperimentConfig(
+    name="stn_newmodel3", recipe="stn",
+    optim=OptimConfig(lr=1e-4),
+    train=TrainConfig(n_epochs=100, sample_interval=50, checkpoint_interval=50),
+))
+register(ExperimentConfig(
+    name="stn_dark_visible", recipe="stn", optim=OptimConfig(lr=1e-4),
+    extra={"variant": "dark_visible"},
+))
+register(ExperimentConfig(
+    name="stn_b2a", recipe="stn", optim=OptimConfig(lr=1e-4),
+    extra={"variant": "b2a", "use_morph": False},
+))
+# Baselines
+register(ExperimentConfig(
+    name="cyclegan", recipe="cyclegan",
+    optim=OptimConfig(schedule="linear_decay", decay_start_epoch=100),
+    train=TrainConfig(n_epochs=200),
+))
+register(ExperimentConfig(name="thermalgan", recipe="thermalgan"))
+register(ExperimentConfig(name="nemar", recipe="nemar"))
+register(ExperimentConfig(
+    name="tfc_diff", recipe="diffusion",
+    optim=OptimConfig(lr=1e-3, b1=0.9, b2=0.999),
+    data=DataConfig(image_size=128),
+))
+
+
+def get_experiment(name: str) -> ExperimentConfig:
+    if name not in EXPERIMENTS:
+        raise KeyError(f"unknown experiment {name!r}; known: {sorted(EXPERIMENTS)}")
+    return EXPERIMENTS[name]

@@ -1,0 +1,94 @@
+"""Paired side-by-side image dataset.
+
+The reference stores pairs as one image with A|B side by side, split at w/2
+and bicubic-resized to 256² (``/root/reference/TFC-GAN-FFT/datasets_temp.py:
+49-63``). This loader keeps that host path (PIL, bit-identical inputs) but
+stops there: normalization, temperature LUT, and patch crops are on-device.
+
+Returned batches: {"A": (N,H,W,3) float32 in [-1,1], "B": same,
+"T_B": (N,H,W) float32 Celsius, optional "LAB": (N,) int32}.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+from PIL import Image
+
+from tfcgan_tpu.ops.temperature import TEMP_MAX_C, TEMP_MIN_C
+
+
+def load_pair(path: str, image_size: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """One A|B image -> (A_u8, B_u8), each (H, W, 3) uint8."""
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    a = img.crop((0, 0, w / 2, h)).resize((image_size, image_size), Image.Resampling.BICUBIC)
+    b = img.crop((w / 2, 0, w, h)).resize((image_size, image_size), Image.Resampling.BICUBIC)
+    return np.asarray(a, dtype=np.uint8), np.asarray(b, dtype=np.uint8)
+
+
+def _normalize(u8: np.ndarray) -> np.ndarray:
+    # ToTensor + Normalize(0.5, 0.5): uint8/255 -> [-1, 1]
+    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+class PairedImageDataset:
+    """File-list dataset over a ``root/mode`` directory of A|B pair images."""
+
+    def __init__(
+        self,
+        root: str,
+        mode: str = "train",
+        image_size: int = 256,
+        direction: str = "AtoB",
+        labels: dict[str, int] | None = None,
+    ):
+        self.files = sorted(glob.glob(os.path.join(root, mode, "*.*")))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {os.path.join(root, mode)}")
+        self.image_size = image_size
+        self.direction = direction
+        self.labels = labels
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        path = self.files[idx % len(self.files)]
+        a_u8, b_u8 = load_pair(path, self.image_size)
+        if self.direction == "BtoA":
+            a_u8, b_u8 = b_u8, a_u8
+        t_b = TEMP_MIN_C + b_u8[..., 0].astype(np.float32) * (
+            (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+        )
+        item = {"A": _normalize(a_u8), "B": _normalize(b_u8), "T_B": t_b}
+        if self.labels is not None:
+            item["LAB"] = np.int32(self.labels.get(os.path.basename(path), 0))
+        return item
+
+
+def batch_iterator(
+    dataset: PairedImageDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 42,
+    drop_last: bool = True,
+    epochs: int | None = None,
+):
+    """Simple host-side batcher (drop_last matches the reference loader)."""
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(dataset))
+        if shuffle:
+            rng.shuffle(order)
+        n_full = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        for i in range(n_full):
+            idxs = order[i * batch_size : (i + 1) * batch_size]
+            items = [dataset[int(j)] for j in idxs]
+            yield {
+                k: np.stack([it[k] for it in items]) for k in items[0]
+            }
+        epoch += 1

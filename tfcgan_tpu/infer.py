@@ -1,0 +1,96 @@
+"""Inference ("serve") path.
+
+Replaces the reference's per-trainer ``test_*.py`` scripts (rebuild model,
+strip DataParallel ``module.`` prefixes, loop at batch 1 —
+``test_TFCGAN.py:125-218``): here inference restores the unified checkpoint,
+jits the generator once, and streams batches producing the same stacked PNGs
+(real_A | fake_B | real_B vertically) plus optional per-patch grids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfcgan_tpu.config import ExperimentConfig
+from tfcgan_tpu.evaluation.suite import save_image_grid
+from tfcgan_tpu.ops.fftloss import fft_log_magnitude
+
+
+class Inferencer:
+    """Jitted eval-mode generation for any recipe exposing its generator."""
+
+    def __init__(self, cfg: ExperimentConfig, recipe, g_params):
+        self.cfg = cfg
+        self.recipe = recipe
+        self.g_params = g_params
+        name = cfg.recipe
+        if name == "tfcgan":
+            self._fn = jax.jit(
+                lambda p, batch: recipe.G.apply({"params": p["G"]}, batch["A"],
+                                                deterministic=True)
+                if not cfg.loss.conditional
+                else recipe.G.apply(
+                    {"params": p["G"]}, batch["A"],
+                    jax.nn.one_hot(batch["LAB"], cfg.loss.num_classes),
+                    deterministic=True,
+                )
+            )
+        elif name == "stn":
+            def stn_fn(p, batch):
+                a, b = batch["A"], batch["B"]
+                fake_b = recipe.G1.apply({"params": p["G1"]}, a, deterministic=True)
+                fake_a1 = recipe.G2.apply({"params": p["G2"]}, b, deterministic=True)
+                cond = fake_b if recipe.stn_condition == "fake_B" else fake_a1
+                warped_b = recipe.STN.apply({"params": p["STN"]}, a, cond, b)
+                fake_a2 = recipe.G2.apply({"params": p["G2"]}, warped_b, deterministic=True)
+                return {"fake_B": fake_b, "fake_A1": fake_a1,
+                        "warped_B": warped_b, "fake_A2": fake_a2}
+            self._fn = jax.jit(stn_fn)
+        elif name == "cyclegan":
+            self._fn = jax.jit(
+                lambda p, batch: recipe.G_AB.apply({"params": p["G_AB"]}, batch["A"])
+            )
+        elif name == "thermalgan":
+            def tg_fn(p, batch):
+                from tfcgan_tpu.models.thermalgan import normalized_temps
+                fake_s = recipe.G1.apply({"params": p["G1"]}, batch["A"],
+                                         normalized_temps(batch["T_B"]))
+                return recipe.G2.apply({"params": p["G2"]}, fake_s, deterministic=True)
+            self._fn = jax.jit(tg_fn)
+        else:
+            raise ValueError(f"no inference path for recipe {name!r}")
+
+    def __call__(self, batch):
+        return self._fn(self.g_params, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    def run_test_set(self, batches, out_dir: str, save_spectra: bool = False) -> int:
+        """Emit the reference-style stacked PNGs; returns images written."""
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for batch in batches:
+            out = self(batch)
+            if isinstance(out, dict):  # STN: 6-image stack layout (:332-346)
+                stacks = [batch["A"], batch["B"], out["warped_B"],
+                          out["fake_A1"], out["fake_A2"], out["fake_B"]]
+            else:
+                stacks = [batch["A"], out, batch["B"]]
+            stacks = [np.asarray(s) for s in stacks]
+            for i in range(stacks[0].shape[0]):
+                save_image_grid(
+                    [s[i] for s in stacks], os.path.join(out_dir, f"{n:05d}.png")
+                )
+                if save_spectra and not isinstance(out, dict):
+                    spec_f = np.asarray(fft_log_magnitude(jnp.asarray(out[i][None])))[0]
+                    spec_r = np.asarray(fft_log_magnitude(jnp.asarray(batch["B"][i][None])))[0]
+                    lo, hi = min(spec_f.min(), spec_r.min()), max(spec_f.max(), spec_r.max())
+                    norm = lambda s: ((s - lo) / max(hi - lo, 1e-9) * 2 - 1)[..., None].repeat(3, -1)
+                    save_image_grid(
+                        [norm(spec_f), norm(spec_r)],
+                        os.path.join(out_dir, "spectra", f"{n:05d}_mag.png"),
+                    )
+                n += 1
+        return n

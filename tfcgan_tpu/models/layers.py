@@ -200,3 +200,29 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def spectral_power_iteration(params, spectral):
+    """One power iteration for every spectrally-normalized kernel.
+
+    The iteration depends only on the kernels, so instead of threading
+    ``update_stats`` through a discriminator forward (the reference runs it
+    implicitly 4× per step inside D calls), the trainer advances (u, v) once
+    per step here and every D evaluation then uses the same fixed state.
+
+    ``spectral`` mirrors the params tree with {"u", "v"} leaves at modules
+    that own a "kernel".
+    """
+    def rec(p, s):
+        if not isinstance(s, dict):
+            return s
+        if set(s.keys()) == {"u", "v"}:
+            kernel = p["kernel"]
+            w = kernel.reshape(-1, kernel.shape[-1]).T  # (out, rest)
+            w = jax.lax.stop_gradient(w)
+            v = _l2_normalize(w.T @ s["u"])
+            u = _l2_normalize(w @ v)
+            return {"u": u, "v": v}
+        return {k: rec(p[k], v) for k, v in s.items()}
+
+    return rec(params, spectral)

@@ -1,0 +1,203 @@
+"""ThermalGAN two-stage baseline models
+(``/root/reference/ThermalGAN/ThermalGAN.py``, noAMP variant in configs).
+
+Stage 1 (BicycleGAN-style): ``GeneratorG1`` — UNet-7 over cat(A, temp-plane)
+(3×3 stride-2 convs down, upsample+conv up, ``:89-180``); ``Encoder`` —
+ResNet trunk -> (mu, logvar) for the KL term (``:183-215``);
+``MultiDiscriminator`` (3-scale pyramid) lives in
+``tfcgan_tpu.models.discriminator``.
+
+Stage 2 (pix2pix): ``GeneratorG2`` — UNet-8 (k4 s2 convs / convT, ``:316-402``)
+fake_S -> fake_B; ``DiscriminatorPix`` — stride-2 PatchGAN (``:405-434``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu.models.layers import TorchConv, TorchConvTranspose, upsample_nearest_2x
+from tfcgan_tpu.ops.norm import instance_norm
+
+
+class _DownBic(nn.Module):
+    feats: int
+    normalize: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.feats, kernel_size=(3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, name="conv")(x)
+        if self.normalize:
+            x = instance_norm(x)
+        return nn.leaky_relu(x, 0.2)
+
+
+class _UpBic(nn.Module):
+    feats: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = upsample_nearest_2x(x)
+        x = TorchConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = instance_norm(x)
+        x = nn.leaky_relu(x, 0.01)  # reference uses default LeakyReLU slope
+        return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+
+
+class GeneratorG1(nn.Module):
+    """UNet-7 conditioned on a per-pixel temperature plane: forward(x, t)."""
+
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array) -> jax.Array:
+        dt = self.dtype
+        h = jnp.concatenate([x.astype(dt), t[..., None].astype(dt)], axis=-1)
+        downs = []
+        d = h
+        for i, (f, norm) in enumerate([(64, False), (128, True), (256, True),
+                                       (512, True), (512, True), (512, True), (512, True)]):
+            d = _DownBic(f, normalize=norm, dtype=dt, name=f"down{i+1}")(d)
+            downs.append(d)
+        u = downs[-1]
+        for i, f in enumerate([512, 512, 512, 256, 128, 64]):
+            u = _UpBic(f, dtype=dt, name=f"up{i+1}")(u, downs[-(i + 2)])
+        u = upsample_nearest_2x(u)
+        u = TorchConv(self.out_channels, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                      dtype=dt, name="final")(u)
+        return jnp.tanh(u)
+
+
+class Encoder(nn.Module):
+    """ResNet trunk -> pooled features -> (mu, logvar), latent_dim=8."""
+
+    latent_dim: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        from tfcgan_tpu.models.resnet import BasicBlock
+
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x.astype(self.dtype))
+        h = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype, name="stem_norm")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # resnet18 children[:-3]: layers 1-3 only (up to 256 feats)
+        for i, (feats, stride) in enumerate([(64, 1), (64, 1), (128, 2), (128, 1),
+                                             (256, 2), (256, 1)]):
+            h = BasicBlock(feats, stride, dtype=self.dtype, name=f"block{i}")(h)
+        # AvgPool2d(kernel 8, stride 8) then flatten
+        h = nn.avg_pool(h, (8, 8), strides=(8, 8))
+        h = h.reshape(h.shape[0], -1)
+        mu = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_mu")(h)
+        logvar = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_logvar")(h)
+        return mu, logvar
+
+
+class _DownPix(nn.Module):
+    feats: int
+    normalize: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = TorchConv(self.feats, strides=(2, 2), use_bias=False,
+                      dtype=self.dtype, name="conv")(x)
+        if self.normalize:
+            x = instance_norm(x)
+        x = nn.leaky_relu(x, 0.2)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class _UpPix(nn.Module):
+    feats: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, deterministic=True):
+        x = TorchConvTranspose(self.feats, dtype=self.dtype, name="conv")(x)
+        x = instance_norm(x)
+        x = nn.relu(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+
+
+class GeneratorG2(nn.Module):
+    """pix2pix UNet-8: fake_S -> fake_B."""
+
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dt = self.dtype
+        plan = [(64, False, 0.0), (128, True, 0.0), (256, True, 0.0),
+                (512, True, 0.5), (512, True, 0.5), (512, True, 0.5),
+                (512, True, 0.5), (512, False, 0.5)]
+        downs = []
+        d = x.astype(dt)
+        for i, (f, norm, drop) in enumerate(plan):
+            d = _DownPix(f, normalize=norm, dropout=drop, dtype=dt,
+                         name=f"down{i+1}")(d, deterministic)
+            downs.append(d)
+        u = downs[-1]
+        for i, (f, drop) in enumerate([(512, 0.5), (512, 0.5), (512, 0.5),
+                                       (512, 0.5), (256, 0.0), (128, 0.0), (64, 0.0)]):
+            u = _UpPix(f, dropout=drop, dtype=dt, name=f"up{i+1}")(
+                u, downs[-(i + 2)], deterministic
+            )
+        u = upsample_nearest_2x(u)
+        u = TorchConv(self.out_channels, padding=((2, 1), (2, 1)), dtype=dt,
+                      name="final")(u)
+        return jnp.tanh(u)
+
+
+class DiscriminatorPix(nn.Module):
+    """pix2pix PatchGAN (k4 s2 blocks + asym-pad head), (img, cond) input."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jax.Array, cond: jax.Array) -> jax.Array:
+        x = jnp.concatenate([img, cond], axis=-1).astype(self.dtype)
+        for i, f in enumerate((64, 128, 256, 512)):
+            x = TorchConv(f, strides=(2, 2), name=f"conv{i}", dtype=self.dtype)(x)
+            if i > 0:
+                x = instance_norm(x)
+            x = nn.leaky_relu(x, 0.2)
+        return TorchConv(1, padding=((2, 1), (2, 1)), use_bias=False,
+                         name="final", dtype=self.dtype)(x)
+
+
+def thermal_mask(b: jax.Array) -> jax.Array:
+    """Segmentation surrogate ``enlarge_and_bitwise_thermal`` (``:498-519``),
+    implemented by intent: inverted grayscale of the thermal image,
+    L2-normalized along H, broadcast to 3 channels.
+
+    (The reference's cv2 path — .view() channel scramble + bitwise_not on
+    float32 — is undefined-behavior bit-flipping we deliberately do not copy.)
+    """
+    gray = jnp.mean(b, axis=-1)  # (N, H, W) in [-1, 1]
+    inv = -gray
+    norm = jnp.sqrt(jnp.sum(inv * inv, axis=1, keepdims=True)) + 1e-12
+    n = inv / norm
+    return jnp.repeat(n[..., None], 3, axis=-1)
+
+
+def normalized_temps(t: jax.Array) -> jax.Array:
+    """vectorize_temps + F.normalize(p=2, dim=H) (``:483-493``): (N,H,W)->same."""
+    norm = jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True)) + 1e-12
+    return t / norm

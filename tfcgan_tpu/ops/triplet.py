@@ -22,7 +22,12 @@ def triplet_margin_loss(
     margin: float = 1.0,
     p: float = 2.0,
     eps: float = 1e-6,
+    axis: int = -1,
 ) -> jax.Array:
+    """``axis`` selects the norm dimension. torch reduces along its last dim,
+    which for the reference's NCHW images is W — callers passing NHWC images
+    should use axis=2 to reproduce the reference values (the mean over the
+    remaining dims makes the result identical)."""
     a = anchor.astype(jnp.float32)
     pos = positive.astype(jnp.float32)
     neg = negative.astype(jnp.float32)
@@ -32,8 +37,8 @@ def triplet_margin_loss(
         if p == 2.0:
             # sqrt is non-differentiable at 0; the +eps keeps us off it in
             # practice exactly as torch's pairwise_distance does.
-            return jnp.sqrt(jnp.sum(d * d, axis=-1))
-        return jnp.sum(jnp.abs(d) ** p, axis=-1) ** (1.0 / p)
+            return jnp.sqrt(jnp.sum(d * d, axis=axis))
+        return jnp.sum(jnp.abs(d) ** p, axis=axis) ** (1.0 / p)
 
     d_ap = dist(a, pos)
     d_an = dist(a, neg)

@@ -1,0 +1,106 @@
+"""NeMAR recipe (``/root/reference/nemar/models/nemar_model.py``).
+
+netT = ResNet-9-block translator, netR = deformable (or affine) STN,
+netD = basic PatchGAN on cat(A, B). Per step (``:161-288``):
+
+    fake_B = T(A);  [reg_A, fake_RT_B] = R(A, B, apply_on=[A, fake_B])
+    fake_TR_B = T(reg_A)
+    loss_TR = λ_recon·L1(fake_TR_B, B) + λ_GAN·GAN(D(A, fake_TR_B), true)
+    loss_RT = λ_recon·L1(fake_RT_B, B) + λ_GAN·GAN(D(A, fake_RT_B), true)
+    loss = loss_TR + loss_RT + λ_smooth·reg
+    loss_D = 0.5·λ_GAN·(real + fake_TR + fake_RT)
+
+Defaults λ_GAN=1, λ_recon=100, λ_smooth=0 (``:35-42``); gan_mode lsgan.
+Note the reference updates D *before* T/R each step — our trainer updates G
+first; with both using pre-step parameters of the other player the gradients
+are identical, only the stored-state interleaving differs by half a step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+from tfcgan_tpu.config import ExperimentConfig
+from tfcgan_tpu.models import NLayerDiscriminator, ResNetGenerator
+from tfcgan_tpu.models.stn import CNNAffineSTN, DeformableSTN
+
+
+class NeMARRecipe:
+    name = "nemar"
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        ch = cfg.data.channels
+        self.T = ResNetGenerator(out_channels=ch, dtype=dt)
+        stn_type = cfg.extra.get("stn_type", "deformable")
+        if stn_type == "affine":
+            self.R = CNNAffineSTN(dtype=dt)
+        else:
+            self.R = DeformableSTN(alpha=cfg.extra.get("stn_alpha", 0.0), dtype=dt)
+        self.D = NLayerDiscriminator(dtype=dt)
+        self.lambda_gan = cfg.extra.get("lambda_GAN", 1.0)
+        self.lambda_recon = cfg.extra.get("lambda_recon", 100.0)
+        self.lambda_smooth = cfg.extra.get("lambda_smooth", 0.0)
+
+    def init(self, key, batch):
+        k1, k2, k3 = jax.random.split(key, 3)
+        a, b = batch["A"], batch["B"]
+        ab = jnp.concatenate([a, b], axis=-1)
+        return {
+            "g_params": {
+                "T": self.T.init(k1, a)["params"],
+                "R": self.R.init(k2, a, b)["params"],
+            },
+            "d_params": {"D": self.D.init(k3, ab)["params"]},
+            "spectral": {},
+            "frozen": {},
+        }
+
+    def _forward(self, g_params, batch):
+        a, b = batch["A"], batch["B"]
+        t = lambda x: self.T.apply({"params": g_params["T"]}, x)
+        fake_b = t(a)
+        warped, reg = self.R.apply(
+            {"params": g_params["R"]}, a, b, apply_on=[a, fake_b]
+        )
+        reg_a, fake_rt_b = warped
+        fake_tr_b = t(reg_a)
+        return fake_tr_b, fake_rt_b, reg_a, reg
+
+    def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
+        a, b = batch["A"], batch["B"]
+        fake_tr_b, fake_rt_b, reg_a, reg = self._forward(g_params, batch)
+        d = lambda img: self.D.apply(
+            {"params": d_params["D"]}, jnp.concatenate([a, img], axis=-1)
+        )
+        l1_tr = self.lambda_recon * jnp.mean(jnp.abs(fake_tr_b.astype(jnp.float32) - b))
+        l1_rt = self.lambda_recon * jnp.mean(jnp.abs(fake_rt_b.astype(jnp.float32) - b))
+        gan_tr = self.lambda_gan * ops.lsgan_loss(d(fake_tr_b), 1.0)
+        gan_rt = self.lambda_gan * ops.lsgan_loss(d(fake_rt_b), 1.0)
+        smooth = self.lambda_smooth * reg
+        total = l1_tr + l1_rt + gan_tr + gan_rt + smooth
+        aux = {
+            "fake_tr_b": jax.lax.stop_gradient(fake_tr_b),
+            "fake_rt_b": jax.lax.stop_gradient(fake_rt_b),
+            "reg_a": jax.lax.stop_gradient(reg_a),
+        }
+        metrics = {
+            "loss_G": total, "g_l1_tr": l1_tr, "g_l1_rt": l1_rt,
+            "g_gan_tr": gan_tr, "g_gan_rt": gan_rt, "g_smooth": smooth,
+        }
+        return total, (aux, metrics)
+
+    def d_loss(self, d_params, spectral, aux, batch, rng):
+        a, b = batch["A"], batch["B"]
+        d = lambda img: self.D.apply(
+            {"params": d_params["D"]}, jnp.concatenate([a, img], axis=-1)
+        )
+        loss = 0.5 * self.lambda_gan * (
+            ops.lsgan_loss(d(b), 1.0)
+            + ops.lsgan_loss(d(aux["fake_tr_b"]), 0.0)
+            + ops.lsgan_loss(d(aux["fake_rt_b"]), 0.0)
+        )
+        return loss, {"loss_D": loss}

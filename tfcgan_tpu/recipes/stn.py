@@ -1,0 +1,177 @@
+"""VTF-STN recipe family (joint translation + registration).
+
+Rebuild of the flagship ``TFC-STN/TFCGAN_STN21_Original_NewModel3_Official.py``
+training step (SURVEY.md §3.2):
+
+    fake_B   = G1(A)                         (:624)
+    fake_A1  = G2(B)                         (:625)
+    warped_B = STN(A, fake_A1; src=B)        (:628, ViT-64 localizer)
+    fake_A2  = G2(warped_B)                  (:629, NOT detached — grads reach
+                                              the STN through G2; load-bearing)
+    loss_G = GAN1 + GAN2 + 0.01·L1(fake_A2, A)
+             + LPIPS(fake_A2, A) + LPIPS(fake_B, B)
+             + morph_triplet(warped_B; A, B)  (:632-655)
+    loss_D = 0.5·(D1 relativistic(fake_B) + D2 relativistic(fake_A2)), each
+             weighted 0.25 (:492-507)
+
+Variants (config ``extra``): "dark_visible" conditions the STN on (A, fake_B)
+with a patch-16 ViT and adds the global FFT loss
+(``TFCGAN_STN21_Eur_DarkVisible.py``); "b2a" disables the morphological loss
+(``TFCGAN_STN21_Original_NewModel3_B2A.py``). G1+G2+STN share one Adam,
+D1+D2 the other (:560-561) — expressed here by the g_params/d_params split.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+from tfcgan_tpu.config import ExperimentConfig
+from tfcgan_tpu.models import AffineSTN, GeneratorUNet, LPIPS, PatchDiscriminator
+from tfcgan_tpu.models.stn import LocalizerViT
+from tfcgan_tpu.models.vit import ViT
+import flax.linen as nn
+
+
+class _STNNet(AffineSTN):
+    """AffineSTN with configurable ViT patch size (64 flagship, 16 DarkVisible)."""
+
+    patch: int = 64
+
+    @nn.compact
+    def theta(self, img_a, img_b):
+        x = jnp.concatenate([img_a, img_b], axis=-1)
+        tokens = ViT(patch_size=self.patch, dtype=self.dtype, name="vit")(x)
+        flat = tokens.reshape(tokens.shape[0], -1)
+        h = nn.Dense(1024, dtype=self.dtype, name="fc1")(flat)
+        h = nn.relu(h)
+        h = nn.Dense(512, dtype=self.dtype, name="fc2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(256, dtype=self.dtype, name="fc3")(h)
+        h = nn.sigmoid(h)
+        dtheta = nn.Dense(6, dtype=self.dtype, name="fc4")(h)
+        from tfcgan_tpu.models.stn import IDENTITY_THETA
+
+        return (dtheta.astype(jnp.float32) + IDENTITY_THETA[None, :]).reshape(-1, 2, 3)
+
+
+def morph_triplet(real_a, real_b, warped_b) -> jax.Array:
+    """``morph_triplet`` (:444-459): m(x) = 1 − morphological_gradient(x) with
+    the 3×3 cross; triplet(anchor=m(warped), pos=m(A), neg=m(B))."""
+    m_a = 1.0 - ops.morphological_gradient(real_a)
+    m_b = 1.0 - ops.morphological_gradient(real_b)
+    m_w = 1.0 - ops.morphological_gradient(warped_b)
+    return ops.triplet_margin_loss(m_w, m_a, m_b, axis=2)
+
+
+class STNRecipe:
+    name = "stn"
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        self.variant = cfg.extra.get("variant", "newmodel3")
+        self.use_morph = cfg.extra.get("use_morph", self.variant != "b2a")
+        self.use_fft = cfg.extra.get("use_fft", self.variant == "dark_visible")
+        self.stn_condition = (
+            "fake_B" if self.variant == "dark_visible" else "fake_A1"
+        )
+        patch = 16 if self.variant == "dark_visible" else 64
+        ch = cfg.data.channels
+        self.G1 = GeneratorUNet(out_channels=ch, dtype=dt)
+        self.G2 = GeneratorUNet(out_channels=ch, dtype=dt)
+        self.D1 = PatchDiscriminator(dtype=dt)
+        self.D2 = PatchDiscriminator(dtype=dt)
+        self.STN = _STNNet(dtype=dt, patch=patch)
+        self.lpips = LPIPS(dtype=dt)
+
+    def init(self, key, batch):
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        a, b = batch["A"], batch["B"]
+        g1 = self.G1.init(k1, a)
+        g2 = self.G2.init(k2, b)
+        d1 = self.D1.init(k3, a, b)
+        d2 = self.D2.init(k4, a, b)
+        stn = self.STN.init(k5, a, a, b)
+        lp = self.lpips.init(k6, a, b)
+        return {
+            "g_params": {"G1": g1["params"], "G2": g2["params"], "STN": stn["params"]},
+            "d_params": {"D1": d1["params"], "D2": d2["params"]},
+            "spectral": {"D1": d1["spectral"], "D2": d2["spectral"]},
+            "frozen": {"lpips": lp},
+        }
+
+    def _forward(self, g_params, batch, rng):
+        kg1, kg2, kg3 = jax.random.split(rng, 3)
+        a, b = batch["A"], batch["B"]
+        fake_b = self.G1.apply({"params": g_params["G1"]}, a,
+                               deterministic=False, rngs={"dropout": kg1})
+        fake_a1 = self.G2.apply({"params": g_params["G2"]}, b,
+                                deterministic=False, rngs={"dropout": kg2})
+        cond = fake_b if self.stn_condition == "fake_B" else fake_a1
+        warped_b = self.STN.apply({"params": g_params["STN"]}, a, cond, b)
+        fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
+                                deterministic=False, rngs={"dropout": kg3})
+        return fake_b, fake_a1, warped_b, fake_a2
+
+    def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
+        cfg = self.cfg.loss
+        a, b = batch["A"], batch["B"]
+        fake_b, fake_a1, warped_b, fake_a2 = self._forward(g_params, batch, rng)
+
+        def d_apply(name, img, cond):
+            return self.D1.apply(
+                {"params": d_params[name], "spectral": spectral[name]}, img, cond
+            )
+
+        # relativistic G losses (global_gen_loss :480-490)
+        adv1 = ops.relativistic_g_loss(
+            d_apply("D1", fake_b, a), d_apply("D1", b, a), cfg.label_smooth
+        )
+        adv2 = ops.relativistic_g_loss(
+            d_apply("D2", fake_a2, b), d_apply("D2", a, b), cfg.label_smooth
+        )
+        adv = adv1 + adv2
+        recon = jnp.mean(jnp.abs(fake_a2.astype(jnp.float32) - a))
+        perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_a2, a)) + jnp.mean(
+            self.lpips.apply(frozen["lpips"], fake_b, b)
+        )
+        total = adv + 0.01 * recon + perc
+        metrics = {"g_adv": adv, "g_recon": recon, "g_lpips": perc}
+        if self.use_morph:
+            morph = morph_triplet(a, b, warped_b)
+            total = total + morph
+            metrics["g_morph"] = morph
+        if self.use_fft:
+            fft, _, _ = ops.fftloss.fft_l1_loss(fake_b, b, mode=cfg.fft_quantize)
+            total = total + cfg.fft_weight * fft
+            metrics["g_fft"] = fft
+        metrics["loss_G"] = total
+        aux = {
+            "fake_b": jax.lax.stop_gradient(fake_b),
+            "fake_a2": jax.lax.stop_gradient(fake_a2),
+            "warped_b": jax.lax.stop_gradient(warped_b),
+        }
+        return total, (aux, metrics)
+
+    def d_loss(self, d_params, spectral, aux, batch, rng):
+        cfg = self.cfg.loss
+        a, b = batch["A"], batch["B"]
+
+        def d_apply(name, img, cond):
+            return self.D1.apply(
+                {"params": d_params[name], "spectral": spectral[name]}, img, cond
+            )
+
+        # global_disc_loss (:492-507): 0.25 weight per D, then 0.5 overall
+        d1 = ops.relativistic_d_loss(
+            d_apply("D1", b, a), d_apply("D1", aux["fake_b"], a),
+            cfg.label_smooth, weight=0.25,
+        )
+        d2 = ops.relativistic_d_loss(
+            d_apply("D2", a, b), d_apply("D2", aux["fake_a2"], b),
+            cfg.label_smooth, weight=0.25,
+        )
+        loss = 0.5 * (d1 + d2)
+        return loss, {"loss_D": loss, "d1": d1, "d2": d2}

@@ -1,0 +1,288 @@
+"""The TFC-GAN recipe matrix.
+
+One parameterized recipe replaces the ~20 near-identical FFT/favtgan trainer
+scripts (SURVEY.md §2.1-2.2). ``LossConfig`` switches select:
+
+- patch triplet over a 2×2 or 4×4 grid with randomized whole-quadrant
+  negatives (``TFCGAN_multigpu_globalFFT.py:462-477``),
+- temperature triplet with ColorJitter negatives × λ_t (``:479-489``),
+- LPIPS perceptual term (``:492``),
+- global or per-patch FFT amplitude+phase L1 (``:494-499``,
+  ``patchFFT_16P.py:323-375``),
+- regional hair/eyes FFT loss, L1 or KL flavor
+  (``withregion_FFT.py:353-404``, ``withregion_FFT_KL.py:390-420``),
+- the debiased label-conditional family: conditional G, aux-classifier D,
+  regional ethnicity CNNs, CE losses (``debiased_V7.py:640-712``).
+
+Everything is computed in-graph on NHWC batches; the per-sample host
+round-trips of the reference (vectorize_temps / fft_components) are replaced
+by the batched ops in ``tfcgan_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+from tfcgan_tpu.config import ExperimentConfig
+from tfcgan_tpu.models import (
+    AuxClassifierDiscriminator,
+    ConditionalGeneratorUNet,
+    GeneratorUNet,
+    LPIPS,
+    PatchDiscriminator,
+)
+from tfcgan_tpu.models.resnet import ResNet18
+from tfcgan_tpu.ops.fftloss import fft_amp_phase
+
+
+def _dtype(cfg: ExperimentConfig):
+    return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+
+
+def patch_triplet_loss(fake, real, key, grid: int) -> jax.Array:
+    """Per-patch triplet with a random whole-quadrant negative per term.
+
+    Matches the reference exactly: each patch term draws one uniform patch
+    index and uses that *entire* real patch stack entry as the negative for
+    all batch elements (``random_patches[randint]``, ``:470-477``); the sum is
+    averaged over patches. Distances reduce along W (torch last-dim), axis=2
+    in NHWC.
+    """
+    fp = ops.patchify(fake, grid)  # (P, N, h, w, C)
+    rp = ops.patchify(real, grid)
+    p = grid * grid
+    neg_idx = jax.random.randint(key, (p,), 0, p)
+    neg = rp[neg_idx]  # (P, N, h, w, C)
+    per_patch = jax.vmap(
+        lambda a, pos, n: ops.triplet_margin_loss(a, pos, n, axis=2)
+    )(fp, rp, neg)
+    return jnp.mean(per_patch)
+
+
+def temperature_triplet_loss(fake, real, t_real, key, lam: float, mode: str) -> jax.Array:
+    """λ_t · triplet(T(fake), T_B, T(jitter(real))) (``:479-489``).
+
+    t_real: (N, H, W) Celsius map from the data pipeline (real-image LUT).
+    """
+    t_fake = ops.temperature_lut(fake, mode=mode)
+    jittered = ops.color_jitter(key, real)
+    t_neg = ops.temperature_lut(jittered, mode=mode)
+    # torch operates on (N,1,H,W): distance along W == axis -1 here.
+    return ops.triplet_margin_loss(t_fake, t_real, t_neg, axis=-1) * lam
+
+
+def fft_loss(fake, real, cfg) -> jax.Array:
+    """Global or per-patch FFT amp+phase L1 (0.5·(L1_amp + L1_pha))."""
+    if cfg.fft_grid <= 1:
+        loss, _, _ = ops.fftloss.fft_l1_loss(fake, real, mode=cfg.fft_quantize)
+        return loss
+    # Fold the patch axis into the batch: one big batched rfft2 instead of
+    # grid² small ones (equal-size patches -> mean over (P·N) equals the
+    # reference's mean of 16 per-patch means, ``calculate_ffts``).
+    fp = ops.patchify(fake, cfg.fft_grid)
+    rp = ops.patchify(real, cfg.fft_grid)
+    merge = lambda p: p.reshape(-1, *p.shape[2:])
+    loss, _, _ = ops.fftloss.fft_l1_loss(merge(fp), merge(rp), mode=cfg.fft_quantize)
+    return loss
+
+
+def regional_fft_loss(fake, real, cfg) -> jax.Array:
+    """Hair rows [0:100) and eyes rows [100:200) bands, full width
+    (``withregion_FFT.py:374-379``). 'l1' sums band L1 losses; 'kl' applies
+    KLDivLoss(log_target=True) between log-softmax over the batch dim
+    (``withregion_FFT_KL.py:398-420``)."""
+    def bands(x):
+        # rows scale with H; at the reference's 256 these are exactly
+        # [0:100) (hair) and [100:200) (eyes)
+        h = x.shape[1]
+        r1 = round(100 * h / 256)
+        return x[:, 0:r1, :, :], x[:, r1 : 2 * r1, :, :]
+
+    fh, fe = bands(fake)
+    rh, re_ = bands(real)
+
+    def comps(x):
+        return fft_amp_phase(x, mode=cfg.fft_quantize)
+
+    (ah_f, ph_f), (ae_f, pe_f) = comps(fh), comps(fe)
+    (ah_r, ph_r), (ae_r, pe_r) = comps(rh), comps(re_)
+
+    if cfg.region_fft == "l1":
+        amp = jnp.mean(jnp.abs(ah_f - ah_r)) + jnp.mean(jnp.abs(ae_f - ae_r))
+        pha = jnp.mean(jnp.abs(ph_f - ph_r)) + jnp.mean(jnp.abs(pe_f - pe_r))
+        return 0.5 * (amp + pha)
+
+    def kl(inp, tgt):
+        # torch KLDivLoss(log_target=True, reduction='mean'):
+        # mean(exp(t) * (t - i)) with i, t already log-probabilities.
+        li = jax.nn.log_softmax(inp, axis=0)
+        lt = jax.nn.log_softmax(tgt, axis=0)
+        return jnp.mean(jnp.exp(lt) * (lt - li))
+
+    amp = kl(ah_f, ah_r) + kl(ae_f, ae_r)
+    pha = kl(ph_f, ph_r) + kl(pe_f, pe_r)
+    return 0.5 * (amp + pha)
+
+
+def cross_entropy(logits_or_probs: jax.Array, labels: jax.Array, from_probs: bool) -> jax.Array:
+    """torch CrossEntropyLoss with integer labels. The aux-D head outputs
+    softmax probs which the reference feeds to CrossEntropyLoss anyway (a
+    double-softmax quirk, ``debiased_V7.py:236-247,657``) — reproduced via
+    ``from_probs=True`` (re-log-softmax the probs)."""
+    x = jnp.log(jax.nn.softmax(logits_or_probs)) if from_probs else jax.nn.log_softmax(logits_or_probs)
+    onehot = jax.nn.one_hot(labels, x.shape[-1])
+    return -jnp.mean(jnp.sum(onehot * x, axis=-1))
+
+
+class TFCGANRecipe:
+    name = "tfcgan"
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        dt = _dtype(cfg)
+        lc = cfg.loss
+        if lc.conditional:
+            self.G = ConditionalGeneratorUNet(out_channels=cfg.data.channels, dtype=dt)
+            self.D = AuxClassifierDiscriminator(num_classes=lc.num_classes, dtype=dt)
+            self.cnn_hair = ResNet18(num_classes=lc.num_classes, dtype=dt)
+            self.cnn_eyes = ResNet18(num_classes=lc.num_classes, dtype=dt)
+        else:
+            self.G = GeneratorUNet(out_channels=cfg.data.channels, dtype=dt)
+            self.D = PatchDiscriminator(dtype=dt)
+        self.lpips = LPIPS(dtype=dt) if lc.use_lpips else None
+
+    # ------------------------------------------------------------------ init
+    def init(self, key, batch):
+        kg, kd, kl, kh, ke = jax.random.split(key, 5)
+        a, b = batch["A"], batch["B"]
+        lc = self.cfg.loss
+        if lc.conditional:
+            lab = jax.nn.one_hot(batch["LAB"], lc.num_classes)
+            g_vars = self.G.init(kg, a, lab)
+            d_vars = self.D.init(kd, a, b)
+        else:
+            g_vars = self.G.init(kg, a)
+            d_vars = self.D.init(kd, a, b)
+        frozen = {}
+        if self.lpips is not None:
+            frozen["lpips"] = self.lpips.init(kl, a, b)
+        g_params = {"G": g_vars["params"]}
+        if lc.conditional:
+            # V7 trains the regional CNN heads jointly with D (``:558-564``);
+            # we keep them in d_params.
+            hair = a[:, 0 : round(100 * a.shape[1] / 256), :, :]
+            d_params = {
+                "D": d_vars["params"],
+                "cnn_hair": self.cnn_hair.init(kh, hair)["params"],
+                "cnn_eyes": self.cnn_eyes.init(ke, hair)["params"],
+            }
+        else:
+            d_params = {"D": d_vars["params"]}
+        return {
+            "g_params": g_params,
+            "d_params": d_params,
+            "spectral": {"D": d_vars["spectral"]},
+            "frozen": frozen,
+        }
+
+    # -------------------------------------------------------------- helpers
+    def _gen(self, g_params, batch, rng, deterministic=False):
+        if self.cfg.loss.conditional:
+            lab = jax.nn.one_hot(batch["LAB"], self.cfg.loss.num_classes)
+            return self.G.apply(
+                {"params": g_params["G"]}, batch["A"], lab,
+                deterministic=deterministic, rngs={"dropout": rng},
+            )
+        return self.G.apply(
+            {"params": g_params["G"]}, batch["A"],
+            deterministic=deterministic, rngs={"dropout": rng},
+        )
+
+    def _disc(self, d_params, spectral, img, cond):
+        out = self.D.apply(
+            {"params": d_params["D"], "spectral": spectral["D"]}, img, cond
+        )
+        return out  # logits, or (logits, probs) when conditional
+
+    # --------------------------------------------------------------- losses
+    def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
+        cfg = self.cfg.loss
+        k_drop, k_patch, k_temp = jax.random.split(rng, 3)
+        a, b = batch["A"], batch["B"]
+        fake_b = self._gen(g_params, batch, k_drop)
+
+        metrics = {}
+        if cfg.conditional:
+            pred_fake, eth_f = self._disc(d_params, spectral, fake_b, a)
+            pred_real, _ = self._disc(d_params, spectral, b, a)
+        else:
+            pred_fake = self._disc(d_params, spectral, fake_b, a)
+            pred_real = self._disc(d_params, spectral, b, a)
+        adv = ops.relativistic_g_loss(pred_fake, pred_real, cfg.label_smooth)
+        total = cfg.adv_weight * adv
+        metrics["g_adv"] = adv
+
+        if cfg.patch_grid > 0:
+            trip = patch_triplet_loss(fake_b, b, k_patch, cfg.patch_grid)
+            total += cfg.triplet_weight * trip
+            metrics["g_triplet"] = trip
+        if cfg.use_temp:
+            temp = temperature_triplet_loss(
+                fake_b, b, batch["T_B"], k_temp, cfg.temp_lambda, cfg.temp_quantize
+            )
+            total += cfg.temp_weight * temp
+            metrics["g_temp"] = temp
+        if self.lpips is not None:
+            perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_b, b))
+            total += cfg.lpips_weight * perc
+            metrics["g_lpips"] = perc
+        if cfg.fft_mode != "off":
+            fft = fft_loss(fake_b, b, cfg)
+            total += cfg.fft_weight * fft
+            metrics["g_fft"] = fft
+        if cfg.region_fft != "off":
+            reg = regional_fft_loss(fake_b, b, cfg)
+            total += cfg.region_fft_weight * reg
+            metrics["g_region_fft"] = reg
+        if cfg.conditional:
+            lab = batch["LAB"]
+            r1 = round(100 * fake_b.shape[1] / 256)
+            hair = fake_b[:, 0:r1, :, :]
+            eyes = fake_b[:, r1 : 2 * r1, :, :]
+            hp = self.cnn_hair.apply({"params": d_params["cnn_hair"]}, hair)
+            ep = self.cnn_eyes.apply({"params": d_params["cnn_eyes"]}, eyes)
+            reg_ce = cross_entropy(hp, lab, False) + cross_entropy(ep, lab, False)
+            ce = 0.5 * (reg_ce + cross_entropy(eth_f, lab, True))
+            total += cfg.ce_weight * ce
+            metrics["g_ce"] = ce
+
+        metrics["loss_G"] = total
+        aux = {"fake_b": jax.lax.stop_gradient(fake_b)}
+        return total, (aux, metrics)
+
+    def d_loss(self, d_params, spectral, aux, batch, rng):
+        cfg = self.cfg.loss
+        a, b = batch["A"], batch["B"]
+        fake_b = aux["fake_b"]
+        if cfg.conditional:
+            pred_real, eth_r = self._disc(d_params, spectral, b, a)
+            pred_fake, eth_f = self._disc(d_params, spectral, fake_b, a)
+        else:
+            pred_real = self._disc(d_params, spectral, b, a)
+            pred_fake = self._disc(d_params, spectral, fake_b, a)
+        loss = ops.relativistic_d_loss(
+            pred_real, pred_fake, cfg.label_smooth, cfg.d_loss_weight
+        )
+        metrics = {"loss_D": loss}
+        if cfg.conditional:
+            lab = batch["LAB"]
+            gen_lab = jax.random.randint(rng, lab.shape, 0, cfg.num_classes)
+            ce = 0.5 * (
+                cross_entropy(eth_r, lab, True) + cross_entropy(eth_f, gen_lab, True)
+            )
+            loss = loss + ce
+            metrics["d_ce"] = ce
+            metrics["loss_D"] = loss
+        return loss, metrics

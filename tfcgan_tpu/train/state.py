@@ -1,0 +1,73 @@
+"""Full training state as one pytree.
+
+The reference checkpoints only model ``state_dict``s — optimizer moments, AMP
+scaler, and RNG state are lost on resume (SURVEY.md §5.3-5.4). Here the state
+carries everything needed for bit-identical resume: both optimizer states,
+spectral-norm power-iteration state, the PRNG key, and the step counter.
+bf16 compute needs no GradScaler, so there is none.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+from tfcgan_tpu.config import ExperimentConfig
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    rng: jax.Array
+    g_params: Any
+    d_params: Any
+    spectral: Any
+    frozen: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    extra: Any = None  # recipe-owned state (e.g. CycleGAN replay buffers)
+
+
+def _lr(cfg: ExperimentConfig):
+    o = cfg.optim
+    if o.schedule == "constant":
+        return o.lr
+    if o.schedule == "linear_decay":
+        # CycleGAN LambdaLR: lr · (1 − max(0, epoch − decay_epoch) / (n − decay))
+        spe = cfg.train.steps_per_epoch or 1
+        n, dec = cfg.train.n_epochs, o.decay_start_epoch
+
+        def sched(step):
+            epoch = step / spe
+            frac = jax.numpy.maximum(0.0, epoch - dec) / max(n - dec, 1)
+            return o.lr * jax.numpy.maximum(0.0, 1.0 - frac)
+
+        return sched
+    raise ValueError(o.schedule)
+
+
+def make_optimizers(cfg: ExperimentConfig) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    o = cfg.optim
+    lr = _lr(cfg)
+    g_tx = optax.adam(lr, b1=o.b1, b2=o.b2)
+    d_tx = optax.adam(lr, b1=o.b1, b2=o.b2)
+    return g_tx, d_tx
+
+
+def create_state(cfg: ExperimentConfig, recipe, key: jax.Array, batch) -> GANTrainState:
+    init_key, run_key = jax.random.split(key)
+    pieces = recipe.init(init_key, batch)
+    g_tx, d_tx = make_optimizers(cfg)
+    return GANTrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        rng=run_key,
+        g_params=pieces["g_params"],
+        d_params=pieces["d_params"],
+        spectral=pieces["spectral"],
+        frozen=pieces["frozen"],
+        g_opt_state=g_tx.init(pieces["g_params"]),
+        d_opt_state=d_tx.init(pieces["d_params"]),
+        extra=pieces.get("extra"),
+    )

@@ -1,0 +1,131 @@
+"""The single jitted alternating G/D train step + the epoch driver.
+
+Replaces the reference's per-script Python loops with autocast/GradScaler and
+DataParallel scatter-gather (``TFCGAN_multigpu_globalFFT.py:429-591``) with:
+
+- ONE ``jax.jit`` covering spectral-norm update, G forward+backward+Adam, and
+  D forward+backward+Adam — no host sync inside the step;
+- bf16 compute / fp32 params+optimizer (no loss scaling needed on TPU);
+- data parallelism via NamedSharding: the batch is sharded over the mesh's
+  data axis, state replicated; XLA inserts the gradient ``psum`` over ICI.
+
+The reference's fake_B.detach() reuse in the D phase maps to the aux dict
+returned by ``recipe.g_loss`` (stop-gradient), so G runs exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu.config import ExperimentConfig
+from tfcgan_tpu.models.layers import spectral_power_iteration
+from tfcgan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from tfcgan_tpu.train.state import GANTrainState, create_state, make_optimizers
+from tfcgan_tpu.train.log import JsonlLogger
+
+
+def make_train_step(cfg: ExperimentConfig, recipe) -> Callable:
+    g_tx, d_tx = make_optimizers(cfg)
+    import optax
+
+    def train_step(state: GANTrainState, batch) -> tuple[GANTrainState, dict]:
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        g_rng, d_rng = jax.random.split(step_rng)
+
+        # one spectral power iteration per step (torch runs one per D forward)
+        spectral = spectral_power_iteration(state.d_params, state.spectral)
+
+        # ---- G phase
+        (g_val, (aux, g_metrics)), g_grads = jax.value_and_grad(
+            recipe.g_loss, has_aux=True
+        )(state.g_params, state.d_params, spectral, state.frozen, batch, g_rng)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # recipe-owned state hook (e.g. replay-buffer push/sample) before D
+        extra = state.extra
+        if hasattr(recipe, "pre_d"):
+            extra, aux = recipe.pre_d(extra, aux, d_rng)
+
+        # ---- D phase (uses pre-update G's fake via aux, like the reference)
+        (d_val, d_metrics), d_grads = jax.value_and_grad(
+            recipe.d_loss, has_aux=True
+        )(state.d_params, spectral, aux, batch, d_rng)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {**g_metrics, **d_metrics}
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            spectral=spectral,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            extra=extra,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Epoch driver: jit-compiles the step over the mesh, logs, checkpoints."""
+
+    def __init__(self, cfg: ExperimentConfig, recipe, mesh=None, logger=None):
+        self.cfg = cfg
+        self.recipe = recipe
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.num_devices)
+        self.logger = logger
+        self._step_fn = None
+
+    def init_state(self, key: jax.Array, batch) -> GANTrainState:
+        batch = shard_batch(batch, self.mesh)
+        state = create_state(self.cfg, self.recipe, key, batch)
+        return replicate(state, self.mesh)
+
+    def compiled_step(self):
+        if self._step_fn is None:
+            step = make_train_step(self.cfg, self.recipe)
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            self._step_fn = jax.jit(
+                step,
+                in_shardings=(repl, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return self._step_fn
+
+    def fit(
+        self,
+        state: GANTrainState,
+        batches: Iterable[dict],
+        num_steps: int | None = None,
+        log_every: int | None = None,
+    ) -> GANTrainState:
+        step_fn = self.compiled_step()
+        log_every = log_every or self.cfg.train.log_interval
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            if num_steps is not None and i >= num_steps:
+                break
+            batch = shard_batch(batch, self.mesh)
+            state, metrics = step_fn(state, batch)
+            if self.logger is not None and (i % log_every == 0):
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = int(state.step)
+                m["wall_s"] = time.time() - t0
+                self.logger.write(m)
+        return state
