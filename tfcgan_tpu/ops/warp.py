@@ -34,9 +34,17 @@ def affine_grid(theta: jax.Array, size: tuple[int, int, int], align_corners: boo
         xs = (2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0
         ys = (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0
     gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
-    base = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
-    # out[n,h,w,i] = sum_k theta[n,i,k] * base[h,w,k]
-    return jnp.einsum("hwk,nik->nhwi", base, theta.astype(jnp.float32))
+    th = theta.astype(jnp.float32)
+    # Explicit FMA instead of einsum: on TPU, einsum defaults to bf16 MXU
+    # precision, which corrupts pixel coordinates by up to ~0.25 px.
+    def row(i):
+        return (
+            th[:, i, 0][:, None, None] * gx[None]
+            + th[:, i, 1][:, None, None] * gy[None]
+            + th[:, i, 2][:, None, None]
+        )
+
+    return jnp.stack([row(0), row(1)], axis=-1)
 
 
 def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
