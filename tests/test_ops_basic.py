@@ -216,3 +216,42 @@ class TestColor:
         assert out.shape == x.shape
         assert float(jnp.min(out)) >= -1.0 - 1e-6
         assert float(jnp.max(out)) <= 1.0 + 1e-6
+
+
+class TestAugment:
+    def test_flips_and_erase(self):
+        from tfcgan_tpu.data.augment import random_hflip, random_vflip, random_erasing, test_time_augment
+
+        rng = np.random.RandomState(20)
+        x = jnp.asarray(rng.randn(4, 16, 16, 3).astype(np.float32))
+        key = jax.random.PRNGKey(0)
+        hf = np.asarray(random_hflip(key, x, p=1.0))
+        np.testing.assert_array_equal(hf, np.asarray(x)[:, :, ::-1, :])
+        vf = np.asarray(random_vflip(key, x, p=1.0))
+        np.testing.assert_array_equal(vf, np.asarray(x)[:, ::-1, :, :])
+        er = np.asarray(random_erasing(key, x, p=1.0))
+        changed = (er != np.asarray(x)).reshape(4, -1).any(axis=1)
+        assert changed.all()
+        assert (er == 0.0).any()
+        out = test_time_augment(key, {"A": x, "B": x})
+        np.testing.assert_array_equal(np.asarray(out["A"]), np.asarray(out["B"]))
+
+
+class TestWGAN:
+    def test_gradient_penalty_unit_norm_is_zero(self):
+        from tfcgan_tpu.ops.gan_losses import gradient_penalty, wgan_d_loss, wgan_g_loss
+
+        # D(x) = sum over a unit-direction: grad norm == 1 everywhere
+        w = np.zeros((4, 4, 1), np.float32)
+        w[0, 0, 0] = 1.0
+
+        def d_apply(img):
+            return jnp.sum(img * jnp.asarray(w), axis=(1, 2, 3))
+
+        rng = np.random.RandomState(21)
+        real = jnp.asarray(rng.randn(3, 4, 4, 1).astype(np.float32))
+        fake = jnp.asarray(rng.randn(3, 4, 4, 1).astype(np.float32))
+        gp = float(gradient_penalty(d_apply, real, fake, jax.random.PRNGKey(0)))
+        assert gp < 1e-8
+        assert float(wgan_g_loss(jnp.ones((2, 2)))) == -1.0
+        assert float(wgan_d_loss(jnp.zeros((2,)), jnp.ones((2,)))) == 1.0

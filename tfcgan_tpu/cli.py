@@ -104,6 +104,25 @@ def cmd_eval(args):
     print(means.to_string())
 
 
+def cmd_eval_reg(args):
+    """STN registration eval: SSIM/NCC/MI before vs after
+    (``TFC-STN/evaluation/calc_*.py``) over real_A/real_B/reg_B dirs."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from tfcgan_tpu.evaluation.suite import _load_dir, registration_metrics
+
+    files, a = _load_dir(args.real_a_dir)
+    _, b = _load_dir(args.real_b_dir)
+    _, rb = _load_dir(args.reg_b_dir)
+    to = lambda x: jnp.asarray(x / 127.5 - 1.0)
+    m = {k: np.asarray(v) for k, v in registration_metrics(to(a), to(b), to(rb)).items()}
+    df = pd.DataFrame({"file": files, **m})
+    if args.out_csv:
+        df.to_csv(args.out_csv, index=False)
+    print(df.drop(columns=["file"]).mean().to_string())
+
+
 def cmd_prep_combine(args):
     from tfcgan_tpu.data.prep import combine_a_and_b
 
@@ -146,6 +165,13 @@ def main(argv=None):
     sp.add_argument("--real-dir", required=True)
     sp.add_argument("--out-csv", default=None)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("eval-reg")
+    sp.add_argument("--real-a-dir", required=True)
+    sp.add_argument("--real-b-dir", required=True)
+    sp.add_argument("--reg-b-dir", required=True)
+    sp.add_argument("--out-csv", default=None)
+    sp.set_defaults(fn=cmd_eval_reg)
 
     sp = sub.add_parser("prep-combine")
     sp.add_argument("--dir-a", required=True)

@@ -44,6 +44,7 @@ class PairedImageDataset:
         image_size: int = 256,
         direction: str = "AtoB",
         labels: dict[str, int] | None = None,
+        use_native: bool = True,
     ):
         self.files = sorted(glob.glob(os.path.join(root, mode, "*.*")))
         if not self.files:
@@ -51,19 +52,30 @@ class PairedImageDataset:
         self.image_size = image_size
         self.direction = direction
         self.labels = labels
+        if use_native:
+            from tfcgan_tpu.data import native
+
+            self._native = native if native.available() else None
+        else:
+            self._native = None
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         path = self.files[idx % len(self.files)]
-        a_u8, b_u8 = load_pair(path, self.image_size)
-        if self.direction == "BtoA":
-            a_u8, b_u8 = b_u8, a_u8
-        t_b = TEMP_MIN_C + b_u8[..., 0].astype(np.float32) * (
-            (TEMP_MAX_C - TEMP_MIN_C) / 255.0
-        )
-        item = {"A": _normalize(a_u8), "B": _normalize(b_u8), "T_B": t_b}
+        if self._native is not None and self.direction == "AtoB":
+            img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+            a, b, t_b = self._native.process_pair(img, self.image_size)
+            item = {"A": a, "B": b, "T_B": t_b}
+        else:
+            a_u8, b_u8 = load_pair(path, self.image_size)
+            if self.direction == "BtoA":
+                a_u8, b_u8 = b_u8, a_u8
+            t_b = TEMP_MIN_C + b_u8[..., 0].astype(np.float32) * (
+                (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+            )
+            item = {"A": _normalize(a_u8), "B": _normalize(b_u8), "T_B": t_b}
         if self.labels is not None:
             item["LAB"] = np.int32(self.labels.get(os.path.basename(path), 0))
         return item

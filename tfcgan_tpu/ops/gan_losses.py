@@ -57,3 +57,36 @@ def lsgan_loss(pred: jax.Array, target: float) -> jax.Array:
 def vanilla_g_loss(pred_fake: jax.Array) -> jax.Array:
     """Non-relativistic saturating BCE generator loss (NeMAR 'vanilla')."""
     return bce_with_logits(pred_fake, 1.0)
+
+
+def wgan_g_loss(pred_fake: jax.Array) -> jax.Array:
+    """WGAN generator loss: -mean(D(fake)) (NeMAR gan_mode='wgangp')."""
+    return -jnp.mean(pred_fake.astype(jnp.float32))
+
+
+def wgan_d_loss(pred_real: jax.Array, pred_fake: jax.Array) -> jax.Array:
+    """WGAN critic loss: mean(D(fake)) - mean(D(real))."""
+    return jnp.mean(pred_fake.astype(jnp.float32)) - jnp.mean(pred_real.astype(jnp.float32))
+
+
+def gradient_penalty(
+    d_apply, real: jax.Array, fake: jax.Array, key: jax.Array,
+    mode: str = "mixed", constant: float = 1.0, lambda_gp: float = 10.0,
+) -> jax.Array:
+    """WGAN-GP penalty (``nemar/models/networks.py:284`` cal_gradient_penalty):
+    λ·mean((||∇_x D(x̂)||₂ − c)²) with x̂ real / fake / mixed."""
+    if mode == "real":
+        x = real
+    elif mode == "fake":
+        x = fake
+    else:
+        alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
+        x = alpha * real + (1.0 - alpha) * fake
+
+    def score(img):
+        return jnp.sum(d_apply(img))
+
+    grads = jax.grad(score)(x)
+    g = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-16)
+    return lambda_gp * jnp.mean((norm - constant) ** 2)

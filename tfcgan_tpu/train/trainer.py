@@ -114,18 +114,31 @@ class Trainer:
         batches: Iterable[dict],
         num_steps: int | None = None,
         log_every: int | None = None,
+        sample_hook=None,
+        sample_every: int | None = None,
+        check_finite: bool = False,
     ) -> GANTrainState:
+        """Run steps. ``sample_hook(state, step)`` mirrors the reference's
+        ``sample_images`` visual smoke test (``TFCGAN_multigpu_globalFFT.py:
+        584-585``); ``check_finite`` raises on NaN/Inf losses."""
+        from tfcgan_tpu.train.profiling import assert_finite
+
         step_fn = self.compiled_step()
         log_every = log_every or self.cfg.train.log_interval
+        sample_every = sample_every or self.cfg.train.sample_interval
         t0 = time.time()
         for i, batch in enumerate(batches):
             if num_steps is not None and i >= num_steps:
                 break
             batch = shard_batch(batch, self.mesh)
             state, metrics = step_fn(state, batch)
+            if check_finite:
+                assert_finite(metrics, int(state.step))
             if self.logger is not None and (i % log_every == 0):
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = int(state.step)
                 m["wall_s"] = time.time() - t0
                 self.logger.write(m)
+            if sample_hook is not None and int(state.step) % sample_every == 0:
+                sample_hook(state, int(state.step))
         return state
