@@ -250,3 +250,72 @@ class TestBaselineRecipes:
         )
         assert out.shape == (2, 32, 32, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSpatialMesh:
+    def test_dp_x_spatial_step(self):
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        # original_16p: full G/D step without the FFT loss — XLA's *CPU* fft
+        # thunk rejects the transposed layouts spatial sharding produces
+        # (TPU is unaffected)
+        cfg = small_cfg("original_16p")
+        cfg = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, spatial=2))
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe, mesh=make_mesh(8, spatial=2))
+        assert trainer.mesh.axis_names == ("data", "spatial")
+        batch = synthetic_batch(batch_size=4, image_size=64)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.compiled_step()
+        sb = shard_batch(batch, trainer.mesh)
+        # image arrays sharded over 8 devices (4 data x 2 spatial)
+        assert len(sb["A"].sharding.device_set) == 8
+        state, metrics = step(state, sb)
+        assert np.isfinite(float(metrics["loss_G"]))
+        assert np.isfinite(float(metrics["loss_D"]))
+
+
+class TestTempModesAndDiffusionVariants:
+    @pytest.mark.parametrize("name", ["favtgan_l1", "favtgan_tempmap"])
+    def test_temp_modes(self, name):
+        cfg = get_experiment(name)
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=8, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+        )
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.compiled_step()
+        from tfcgan_tpu.parallel.mesh import shard_batch
+
+        state, metrics = step(state, shard_batch(batch, trainer.mesh))
+        assert np.isfinite(float(metrics["g_temp"]))
+
+    @pytest.mark.parametrize("name", ["tfc_diff_label", "tfc_diff_hybrid"])
+    def test_diffusion_variants(self, name):
+        cfg = get_experiment(name)
+        size = 64 if name == "tfc_diff_hybrid" else 32  # UNet G needs >=64
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=8, image_size=size),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            extra={**cfg.extra, "timesteps": 10},
+        )
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=size, with_labels=True)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.compiled_step()
+        from tfcgan_tpu.parallel.mesh import shard_batch
+
+        state, metrics = step(state, shard_batch(batch, trainer.mesh))
+        assert np.isfinite(float(metrics["g_noise_mse"]))
+        if name == "tfc_diff_hybrid":
+            assert np.isfinite(float(metrics["g_recon"]))
+            # the noise loss must reach G (not detached)
+            g0 = jax.device_get(state.g_params["G"])
+            state2, _ = step(state, shard_batch(batch, trainer.mesh))
+            g1 = jax.device_get(state2.g_params["G"])
+            d = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), g0, g1)
+            assert max(jax.tree_util.tree_leaves(d)) > 0

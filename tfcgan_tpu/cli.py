@@ -48,19 +48,42 @@ def cmd_train(args):
     from tfcgan_tpu.train.log import JsonlLogger
     from tfcgan_tpu.train.trainer import Trainer
 
+    from tfcgan_tpu.data.mixture import BalancedMixture
+    from tfcgan_tpu.train.checkpoint import restore_checkpoint
+
     cfg = _cfg_from_args(args)
     recipe = build_recipe(cfg)
-    ds = PairedImageDataset(cfg.data.root, "train", cfg.data.image_size, cfg.data.direction)
-    steps_per_epoch = len(ds) // cfg.data.batch_size
+    roots = [cfg.data.root, *(args.extra_root or cfg.data.extra_roots or [])]
+    roots = [r for r in roots if r and not r.startswith("<")]
+    datasets = [
+        PairedImageDataset(r, "train", cfg.data.image_size, cfg.data.direction)
+        for r in roots
+    ]
+    steps_per_epoch = min(len(d) for d in datasets) // cfg.data.batch_size
+    if len(datasets) > 1:
+        # balanced multi-dataset training (favtgan ED/EA, SURVEY §2.8)
+        it = BalancedMixture(
+            [
+                (lambda d=d: batch_iterator(d, cfg.data.batch_size // len(datasets),
+                                            seed=cfg.train.seed, epochs=1))
+                for d in datasets
+            ],
+            cfg.data.batch_size, seed=cfg.train.seed,
+        )
+    else:
+        it = batch_iterator(datasets[0], cfg.data.batch_size, seed=cfg.train.seed)
     logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
     trainer = Trainer(cfg, recipe, logger=logger)
-    it = batch_iterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
-    state = trainer.fit(state, [first])  # step 0
+    if args.resume:
+        state = restore_checkpoint(args.resume, jax.device_get(state))
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+    else:
+        state = trainer.fit(state, [first])  # step 0
 
     for epoch in range(cfg.train.n_epochs):
-        state = trainer.fit(state, it, num_steps=steps_per_epoch)
+        state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True)
         if cfg.train.checkpoint_interval > 0 and epoch % cfg.train.checkpoint_interval == 0:
             path = save_checkpoint(cfg.train.checkpoint_dir, state)
             print(f"\n[epoch {epoch}] checkpoint -> {path}")
@@ -153,6 +176,9 @@ def main(argv=None):
     common.add_argument("--out-dir", default="runs")
 
     sp = sub.add_parser("train", parents=[common])
+    sp.add_argument("--resume", default=None, help="checkpoint path to resume from")
+    sp.add_argument("--extra-root", action="append", default=None,
+                    help="additional dataset root(s) for balanced mixtures")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test", parents=[common])

@@ -49,8 +49,11 @@ class LossConfig:
     # patch triplet
     patch_grid: int = 2  # 2 -> 4 patches, 4 -> 16 patches, 0 -> off
     triplet_weight: float = 1.0
-    # temperature triplet
+    # temperature loss: "triplet" (jittered negatives), "l1"
+    # (favtgan _L1: L1(T(fake), T_B)·λ_t), or "tempmap" (favtgan _TempMap:
+    # L1 between red-channel × temp-map matmuls / 1000)
     use_temp: bool = True
+    temp_mode: str = "triplet"
     temp_weight: float = 0.5
     temp_lambda: float = 10.0
     # Fourier losses: "global" | "patch" | "off"
@@ -90,6 +93,10 @@ class MeshConfig:
     data_axis: str = "data"
     # device count is discovered at runtime; set to pin a sub-mesh
     num_devices: int | None = None
+    # devices on the spatial (image-H) axis; 1 = pure data parallel.
+    # With spatial > 1 the mesh is 2-D (data, spatial) and image tensors are
+    # sharded over H with GSPMD conv halo exchange.
+    spatial: int = 1
 
 
 @dataclass(frozen=True)
@@ -134,6 +141,30 @@ register(ExperimentConfig(name="fft_patch_debiased", loss=_loss(fft_mode="patch"
 # favtgan lineage (TFC-GAN-FFT/src/) — pre-FFT base models and ablations
 register(ExperimentConfig(name="triptemp_base", loss=_loss(fft_mode="off", patch_grid=2)))
 register(ExperimentConfig(name="triptemp_16p", loss=_loss(fft_mode="off", patch_grid=4)))
+register(ExperimentConfig(
+    name="favtgan_l1",
+    loss=_loss(fft_mode="off", patch_grid=2, temp_mode="l1",
+               adv_weight=1.0, lpips_weight=1.0, temp_weight=1.0),
+))
+register(ExperimentConfig(
+    name="favtgan_tempmap",
+    loss=_loss(fft_mode="off", patch_grid=2, temp_mode="tempmap",
+               adv_weight=1.0, lpips_weight=1.0, temp_weight=1.0),
+))
+# balanced dual-dataset training (ED = Eurecom+Devcom, EA = Eurecom+ADAS):
+# same recipe; the data pipeline supplies a BalancedMixture via extra_roots
+register(ExperimentConfig(
+    name="triptemp_ed",
+    loss=_loss(fft_mode="off", patch_grid=2, adv_weight=1.0, lpips_weight=1.0,
+               temp_weight=1.0),
+    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+))
+register(ExperimentConfig(
+    name="triptemp_ea",
+    loss=_loss(fft_mode="off", patch_grid=2, adv_weight=1.0, lpips_weight=1.0,
+               temp_weight=1.0),
+    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+))
 register(ExperimentConfig(name="ablation_nopatch", loss=_loss(fft_mode="off", patch_grid=0)))
 register(ExperimentConfig(name="ablation_noperc", loss=_loss(fft_mode="off", patch_grid=4, use_lpips=False)))
 register(ExperimentConfig(name="ablation_notemp", loss=_loss(fft_mode="off", patch_grid=4, use_temp=False)))
@@ -163,6 +194,18 @@ register(ExperimentConfig(
     name="tfc_diff", recipe="diffusion",
     optim=OptimConfig(lr=1e-3, b1=0.9, b2=0.999),
     data=DataConfig(image_size=128),
+))
+register(ExperimentConfig(
+    name="tfc_diff_label", recipe="diffusion",
+    optim=OptimConfig(lr=1e-3, b1=0.9, b2=0.999),
+    data=DataConfig(image_size=128),
+    extra={"variant": "label"},
+))
+register(ExperimentConfig(
+    name="tfc_diff_hybrid", recipe="diffusion",
+    optim=OptimConfig(lr=1e-3, b1=0.9, b2=0.999),
+    data=DataConfig(image_size=128),
+    extra={"variant": "hybrid"},
 ))
 
 

@@ -15,14 +15,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+def make_mesh(
+    num_devices: int | None = None, axis: str = "data", spatial: int = 1
+) -> Mesh:
+    """1-D data mesh, or a 2-D (data, spatial) mesh when ``spatial`` > 1.
+
+    The spatial axis shards the image H dimension across devices (GSPMD
+    inserts the conv halo exchanges) — the TPU analog of scaling the spatial
+    dimension, complementing the reference's patch decomposition
+    (SURVEY.md §5.7). Verified to compile fwd+grad for the UNet; the 1×1
+    bottleneck triggers a (warned, correct) remat on current XLA.
+    """
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if spatial > 1:
+        assert len(devices) % spatial == 0
+        arr = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+        return Mesh(arr, (axis, "spatial"))
     return Mesh(np.asarray(devices), (axis,))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P(axis, "spatial"))
+    return NamedSharding(mesh, P(axis))
+
+
+def image_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Sharding for an (N, H, W, C) tensor: batch over data, H over spatial."""
+    if "spatial" in mesh.axis_names and ndim >= 3:
+        return NamedSharding(mesh, P(axis, "spatial", *([None] * (ndim - 2))))
     return NamedSharding(mesh, P(axis))
 
 
@@ -31,9 +54,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Put a host batch dict onto the mesh, sharded along the batch dim."""
-    s = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    """Put a host batch dict onto the mesh: batch dim over ``data``, and for
+    image-rank arrays the H dim over ``spatial`` when that axis exists."""
+    def put(x):
+        return jax.device_put(x, image_sharding(mesh, getattr(x, "ndim", 1), axis))
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -73,6 +73,27 @@ def temperature_triplet_loss(fake, real, t_real, key, lam: float, mode: str) -> 
     return ops.triplet_margin_loss(t_fake, t_real, t_neg, axis=-1) * lam
 
 
+def temperature_l1_loss(fake, t_real, lam: float, mode: str) -> jax.Array:
+    """favtgan _L1 variant: λ_t · L1(T(fake), T_B) (``favtgan_..._L1.py:429``)."""
+    t_fake = ops.temperature_lut(fake, mode=mode)
+    return jnp.mean(jnp.abs(t_fake - t_real)) * lam
+
+
+def temperature_map_loss(fake, real, t_real, mode: str) -> jax.Array:
+    """favtgan _TempMap variant (``favtgan_..._TempMap.py:436-439``): L1
+    between red-channel × temperature-map matmul products, /1000. Implemented
+    per sample (the reference's batched torch.matmul broadcast quirk is not
+    reproduced)."""
+    t_fake = ops.temperature_lut(fake, mode=mode)
+    red_r = real[..., 0].astype(jnp.float32)
+    red_f = fake[..., 0].astype(jnp.float32)
+    map_r = jnp.einsum("nhw,nwk->nhk", red_r, t_real.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+    map_f = jnp.einsum("nhw,nwk->nhk", red_f, t_fake,
+                       precision=jax.lax.Precision.HIGHEST)
+    return jnp.mean(jnp.abs(map_r - map_f)) / 1000.0
+
+
 def fft_loss(fake, real, cfg) -> jax.Array:
     """Global or per-patch FFT amp+phase L1 (0.5·(L1_amp + L1_pha))."""
     if cfg.fft_grid <= 1:
@@ -229,9 +250,16 @@ class TFCGANRecipe:
             total += cfg.triplet_weight * trip
             metrics["g_triplet"] = trip
         if cfg.use_temp:
-            temp = temperature_triplet_loss(
-                fake_b, b, batch["T_B"], k_temp, cfg.temp_lambda, cfg.temp_quantize
-            )
+            if cfg.temp_mode == "l1":
+                temp = temperature_l1_loss(
+                    fake_b, batch["T_B"], cfg.temp_lambda, cfg.temp_quantize
+                )
+            elif cfg.temp_mode == "tempmap":
+                temp = temperature_map_loss(fake_b, b, batch["T_B"], cfg.temp_quantize)
+            else:
+                temp = temperature_triplet_loss(
+                    fake_b, b, batch["T_B"], k_temp, cfg.temp_lambda, cfg.temp_quantize
+                )
             total += cfg.temp_weight * temp
             metrics["g_temp"] = temp
         if self.lpips is not None:

@@ -86,7 +86,9 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, recipe, mesh=None, logger=None):
         self.cfg = cfg
         self.recipe = recipe
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.num_devices)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh.num_devices, spatial=getattr(cfg.mesh, "spatial", 1)
+        )
         self.logger = logger
         self._step_fn = None
 
@@ -98,14 +100,10 @@ class Trainer:
     def compiled_step(self):
         if self._step_fn is None:
             step = make_train_step(self.cfg, self.recipe)
-            repl = replicated_sharding(self.mesh)
-            data = batch_sharding(self.mesh)
-            self._step_fn = jax.jit(
-                step,
-                in_shardings=(repl, data),
-                out_shardings=(repl, repl),
-                donate_argnums=(0,),
-            )
+            # shardings come from argument placement (state replicated via
+            # init_state, batch via shard_batch — mixed ranks under a 2-D
+            # data×spatial mesh make a single in_sharding spec impractical)
+            self._step_fn = jax.jit(step, donate_argnums=(0,))
         return self._step_fn
 
     def fit(
