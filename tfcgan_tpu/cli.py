@@ -32,7 +32,7 @@ def _cfg_from_args(args):
     )
     train = cfg.train.__class__(
         n_epochs=args.n_epochs or cfg.train.n_epochs,
-        sample_interval=cfg.train.sample_interval,
+        sample_interval=args.sample_interval or cfg.train.sample_interval,
         checkpoint_interval=args.checkpoint_interval or cfg.train.checkpoint_interval,
         compute_dtype=args.dtype or cfg.train.compute_dtype,
         checkpoint_dir=args.out_dir or cfg.train.checkpoint_dir,
@@ -82,8 +82,38 @@ def cmd_train(args):
     else:
         state = trainer.fit(state, [first])  # step 0
 
+    # training-time visual smoke test (the reference's sample_images):
+    # generate on a fixed test batch every sample_interval steps
+    sample_hook = None
+    try:
+        test_ds = PairedImageDataset(
+            cfg.data.root, "test", cfg.data.image_size, cfg.data.direction
+        )
+        sample_batch = next(batch_iterator(test_ds, min(4, len(test_ds)),
+                                           shuffle=False, epochs=1))
+        sample_dir = os.path.join(args.out_dir or ".", "samples")
+
+        def sample_hook(state, step):
+            from tfcgan_tpu.infer import Inferencer
+
+            inf = Inferencer(cfg, recipe, jax.device_get(state.g_params))
+            out = inf(sample_batch)
+            from tfcgan_tpu.evaluation.suite import save_image_grid
+            import numpy as _np
+
+            imgs = out["fake_B"] if isinstance(out, dict) else out
+            stack = [
+                _np.concatenate([sample_batch["A"][i], _np.asarray(imgs)[i],
+                                 sample_batch["B"][i]], axis=0)
+                for i in range(sample_batch["A"].shape[0])
+            ]
+            save_image_grid(stack, os.path.join(sample_dir, f"{step:07d}.png"), axis=1)
+    except FileNotFoundError:
+        pass  # no test split — skip sampling
+
     for epoch in range(cfg.train.n_epochs):
-        state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True)
+        state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
+                            sample_hook=sample_hook)
         if cfg.train.checkpoint_interval > 0 and epoch % cfg.train.checkpoint_interval == 0:
             path = save_checkpoint(cfg.train.checkpoint_dir, state)
             print(f"\n[epoch {epoch}] checkpoint -> {path}")
@@ -171,6 +201,7 @@ def main(argv=None):
     common.add_argument("--image-size", type=int, default=None)
     common.add_argument("--n-epochs", type=int, default=None)
     common.add_argument("--checkpoint-interval", type=int, default=None)
+    common.add_argument("--sample-interval", type=int, default=None)
     common.add_argument("--direction", default=None, choices=[None, "AtoB", "BtoA"])
     common.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
     common.add_argument("--out-dir", default="runs")
