@@ -319,3 +319,71 @@ class TestTempModesAndDiffusionVariants:
             g1 = jax.device_get(state2.g_params["G"])
             d = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), g0, g1)
             assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+class TestNeMARMultiRes:
+    def test_multi_resolution_d(self):
+        cfg = get_experiment("nemar")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=8, image_size=128),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            extra={"multi_resolution": 2},
+        )
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=128)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        assert "D_mr0" in state.d_params
+        from tfcgan_tpu.parallel.mesh import shard_batch
+
+        state, metrics = step_once(trainer, state, batch)
+        assert np.isfinite(float(metrics["loss_D"]))
+
+
+def step_once(trainer, state, batch):
+    from tfcgan_tpu.parallel.mesh import shard_batch
+
+    return trainer.compiled_step()(state, shard_batch(batch, trainer.mesh))
+
+
+class TestDataExtras:
+    def test_unpaired_dataset(self, tmp_path):
+        from tfcgan_tpu.data.pairs import UnpairedImageDataset
+        from PIL import Image as PILImage
+
+        for side, n in (("trainA", 3), ("trainB", 5)):
+            d = tmp_path / side
+            d.mkdir()
+            for i in range(n):
+                arr = (np.random.RandomState(i).rand(32, 32, 3) * 255).astype(np.uint8)
+                PILImage.fromarray(arr).save(d / f"{i}.png")
+        ds = UnpairedImageDataset(str(tmp_path), "train", 32)
+        item = ds[0]
+        assert item["A"].shape == (32, 32, 3)
+        assert item["B"].shape == (32, 32, 3)
+        assert -1.0 <= item["A"].min() and item["A"].max() <= 1.0
+
+    def test_annotations_csv(self, tmp_path):
+        from tfcgan_tpu.data.pairs import load_annotations_csv
+
+        p = tmp_path / "annots.csv"
+        p.write_text("file,gender,ethnicity,age\nx/001.png,0,2,1\n002.png,1,3,0\n")
+        labels = load_annotations_csv(str(p))
+        assert labels == {"001.png": 2, "002.png": 3}
+
+
+class TestLRSchedules:
+    @pytest.mark.parametrize("schedule", ["linear_decay", "step", "cosine"])
+    def test_schedules_evaluate(self, schedule):
+        from tfcgan_tpu.train.state import _lr
+
+        cfg = get_experiment("cyclegan")
+        cfg = cfg.replace(
+            optim=cfg.optim.__class__(schedule=schedule, decay_start_epoch=5),
+            train=cfg.train.__class__(n_epochs=10, steps_per_epoch=10),
+        )
+        fn = _lr(cfg)
+        start = float(fn(0))
+        end = float(fn(99))
+        assert start == pytest.approx(cfg.optim.lr, rel=1e-5)
+        assert end < start

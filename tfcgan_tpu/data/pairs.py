@@ -104,3 +104,56 @@ def batch_iterator(
                 k: np.stack([it[k] for it in items]) for k in items[0]
             }
         epoch += 1
+
+
+class UnpairedImageDataset:
+    """CycleGAN-style unpaired loader (``cyclegan_og/datasets.py:16-48``):
+    ``root/trainA`` and ``root/trainB`` dirs; B drawn at a random index when
+    ``unaligned=True``."""
+
+    def __init__(
+        self,
+        root: str,
+        mode: str = "train",
+        image_size: int = 256,
+        unaligned: bool = True,
+        seed: int = 42,
+    ):
+        self.files_a = sorted(glob.glob(os.path.join(root, f"{mode}A", "*.*")))
+        self.files_b = sorted(glob.glob(os.path.join(root, f"{mode}B", "*.*")))
+        if not self.files_a or not self.files_b:
+            raise FileNotFoundError(f"no images under {root}/{mode}A|B")
+        self.image_size = image_size
+        self.unaligned = unaligned
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return len(self.files_a)
+
+    def _load(self, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB").resize(
+            (self.image_size, self.image_size), Image.Resampling.BICUBIC
+        )
+        return _normalize(np.asarray(img, np.uint8))
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        a = self._load(self.files_a[idx % len(self.files_a)])
+        j = self.rng.randint(0, len(self.files_b)) if self.unaligned else idx % len(self.files_b)
+        b = self._load(self.files_b[j])
+        t_b = TEMP_MIN_C + ((b[..., 0] * 0.5 + 0.5) * 255.0) * (
+            (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+        )
+        return {"A": a, "B": b, "T_B": t_b.astype(np.float32)}
+
+
+def load_annotations_csv(path: str, file_col: int = 0, label_col: int = 2) -> dict[str, int]:
+    """annots_csv labels for the debiased family
+    (``datasets_temp_Debias.py:46-73``: gender/ethnicity/age columns; the V7
+    trainer uses the ethnicity column). Returns {basename: int label} for
+    ``PairedImageDataset(labels=...)``."""
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    files = df.iloc[:, file_col].astype(str)
+    labels = df.iloc[:, label_col].astype(int)
+    return {os.path.basename(f): int(l) for f, l in zip(files, labels)}

@@ -44,17 +44,26 @@ class NeMARRecipe:
         self.lambda_gan = cfg.extra.get("lambda_GAN", 1.0)
         self.lambda_recon = cfg.extra.get("lambda_recon", 100.0)
         self.lambda_smooth = cfg.extra.get("lambda_smooth", 0.0)
+        # NeMAR --multi_resolution: extra discriminators at 1/2^i scales
+        # (nemar_model.py:185-196, 1 = off as upstream default)
+        self.multi_resolution = cfg.extra.get("multi_resolution", 1)
 
     def init(self, key, batch):
         k1, k2, k3 = jax.random.split(key, 3)
         a, b = batch["A"], batch["B"]
         ab = jnp.concatenate([a, b], axis=-1)
+        d_params = {"D": self.D.init(k3, ab)["params"]}
+        for i in range(self.multi_resolution - 1):
+            kk = jax.random.fold_in(k3, i + 1)
+            sh = a.shape[1] // (2 ** (i + 1))
+            small = jnp.zeros((a.shape[0], sh, sh, ab.shape[-1]), ab.dtype)
+            d_params[f"D_mr{i}"] = self.D.init(kk, small)["params"]
         return {
             "g_params": {
                 "T": self.T.init(k1, a)["params"],
                 "R": self.R.init(k2, a, b)["params"],
             },
-            "d_params": {"D": self.D.init(k3, ab)["params"]},
+            "d_params": d_params,
             "spectral": {},
             "frozen": {},
         }
@@ -70,16 +79,33 @@ class NeMARRecipe:
         fake_tr_b = t(reg_a)
         return fake_tr_b, fake_rt_b, reg_a, reg
 
+    def _gan_all_scales(self, d_params, a, img, target):
+        """GAN loss summed over the main D and the multi-resolution Ds
+        (bilinear-downsampled inputs, nemar_model.py:185-196)."""
+        total = ops.lsgan_loss(
+            self.D.apply({"params": d_params["D"]},
+                         jnp.concatenate([a, img], axis=-1)),
+            target,
+        )
+        ar, ir = a, img
+        for i in range(self.multi_resolution - 1):
+            sh = a.shape[1] // (2 ** (i + 1))
+            ar = jax.image.resize(a, (a.shape[0], sh, sh, a.shape[-1]), "bilinear")
+            ir = jax.image.resize(img, (img.shape[0], sh, sh, img.shape[-1]), "bilinear")
+            total = total + ops.lsgan_loss(
+                self.D.apply({"params": d_params[f"D_mr{i}"]},
+                             jnp.concatenate([ar, ir], axis=-1)),
+                target,
+            )
+        return total
+
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
         a, b = batch["A"], batch["B"]
         fake_tr_b, fake_rt_b, reg_a, reg = self._forward(g_params, batch)
-        d = lambda img: self.D.apply(
-            {"params": d_params["D"]}, jnp.concatenate([a, img], axis=-1)
-        )
         l1_tr = self.lambda_recon * jnp.mean(jnp.abs(fake_tr_b.astype(jnp.float32) - b))
         l1_rt = self.lambda_recon * jnp.mean(jnp.abs(fake_rt_b.astype(jnp.float32) - b))
-        gan_tr = self.lambda_gan * ops.lsgan_loss(d(fake_tr_b), 1.0)
-        gan_rt = self.lambda_gan * ops.lsgan_loss(d(fake_rt_b), 1.0)
+        gan_tr = self.lambda_gan * self._gan_all_scales(d_params, a, fake_tr_b, 1.0)
+        gan_rt = self.lambda_gan * self._gan_all_scales(d_params, a, fake_rt_b, 1.0)
         smooth = self.lambda_smooth * reg
         total = l1_tr + l1_rt + gan_tr + gan_rt + smooth
         aux = {
@@ -95,12 +121,9 @@ class NeMARRecipe:
 
     def d_loss(self, d_params, spectral, aux, batch, rng):
         a, b = batch["A"], batch["B"]
-        d = lambda img: self.D.apply(
-            {"params": d_params["D"]}, jnp.concatenate([a, img], axis=-1)
-        )
         loss = 0.5 * self.lambda_gan * (
-            ops.lsgan_loss(d(b), 1.0)
-            + ops.lsgan_loss(d(aux["fake_tr_b"]), 0.0)
-            + ops.lsgan_loss(d(aux["fake_rt_b"]), 0.0)
+            self._gan_all_scales(d_params, a, b, 1.0)
+            + self._gan_all_scales(d_params, a, aux["fake_tr_b"], 0.0)
+            + self._gan_all_scales(d_params, a, aux["fake_rt_b"], 0.0)
         )
         return loss, {"loss_D": loss}

@@ -45,6 +45,25 @@ def _lr(cfg: ExperimentConfig):
             return o.lr * jax.numpy.maximum(0.0, 1.0 - frac)
 
         return sched
+    if o.schedule == "step":
+        # NeMAR get_scheduler 'step': gamma=0.1 every lr_decay_iters epochs
+        spe = cfg.train.steps_per_epoch or 1
+
+        def sched(step):
+            epoch = step / spe
+            return o.lr * 0.1 ** jax.numpy.floor(epoch / max(o.decay_start_epoch, 1))
+
+        return sched
+    if o.schedule == "cosine":
+        # NeMAR get_scheduler 'cosine': anneal to 0 over n_epochs
+        spe = cfg.train.steps_per_epoch or 1
+        n = cfg.train.n_epochs
+
+        def sched(step):
+            epoch = step / spe
+            return o.lr * 0.5 * (1.0 + jax.numpy.cos(jax.numpy.pi * epoch / n))
+
+        return sched
     raise ValueError(o.schedule)
 
 
