@@ -76,6 +76,11 @@ def cmd_train(args):
     trainer = Trainer(cfg, recipe, logger=logger)
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
+    from tfcgan_tpu.train.profiling import count_params
+
+    print(f"G params: {count_params(state.g_params):,} | "
+          f"D params: {count_params(state.d_params):,} | "
+          f"devices: {jax.device_count()} mesh={trainer.mesh.shape}")
     if args.resume:
         state = restore_checkpoint(args.resume, jax.device_get(state))
         print(f"resumed from {args.resume} at step {int(state.step)}")

@@ -56,3 +56,11 @@ class StepTimer:
             return None
         self._steps += 1
         return self._steps * self.batch_size / (now - self._t0)
+
+
+def count_params(tree) -> int:
+    """Total parameter count (the reference's ``print_network``,
+    ``TFCGAN_multigpu_globalFFT.py:374-381``)."""
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
