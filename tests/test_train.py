@@ -387,3 +387,27 @@ class TestLRSchedules:
         end = float(fn(99))
         assert start == pytest.approx(cfg.optim.lr, rel=1e-5)
         assert end < start
+
+
+class TestSTNVariants:
+    @pytest.mark.parametrize("name", ["stn_dark_visible", "stn_b2a"])
+    def test_variant_one_step(self, name):
+        cfg = get_experiment(name)
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=8, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+        )
+        recipe = build_recipe(cfg)
+        if name == "stn_b2a":
+            assert recipe.use_morph is False
+        else:
+            assert recipe.stn_condition == "fake_B" and recipe.use_fft
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = step_once(trainer, state, batch)
+        assert np.isfinite(float(metrics["loss_G"]))
+        if name == "stn_dark_visible":
+            assert "g_fft" in metrics
+        else:
+            assert "g_morph" not in metrics

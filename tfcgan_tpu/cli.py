@@ -154,6 +154,39 @@ def cmd_test(args):
     print(f"wrote {n} stacks to {args.out_dir}")
 
 
+def cmd_gen(args):
+    """Diffusion sampling (the ``test_prototype*.py`` path, fully on device)."""
+    from tfcgan_tpu.data.pairs import PairedImageDataset, batch_iterator
+    from tfcgan_tpu.data.synth import synthetic_batch
+    from tfcgan_tpu.evaluation.suite import save_image_grid
+    from tfcgan_tpu.recipes import build_recipe
+    from tfcgan_tpu.train.checkpoint import restore_checkpoint
+    from tfcgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg_from_args(args)
+    assert cfg.recipe == "diffusion", "gen is for diffusion experiments"
+    recipe = build_recipe(cfg)
+    trainer = Trainer(cfg, recipe)
+    first = synthetic_batch(batch_size=jax.device_count(),
+                            image_size=cfg.data.image_size, with_labels=True)
+    template = trainer.init_state(jax.random.PRNGKey(0), first)
+    state = restore_checkpoint(args.checkpoint, jax.device_get(template))
+    ds = PairedImageDataset(cfg.data.root, "test", cfg.data.image_size, cfg.data.direction)
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for batch in batch_iterator(ds, args.batch_size or 4, shuffle=False, epochs=1):
+        if "LAB" not in batch:
+            batch["LAB"] = np.zeros((batch["A"].shape[0],), np.int32)
+        out = np.asarray(recipe.sample(state.g_params, batch,
+                                       jax.random.PRNGKey(args.seed)))
+        for i in range(out.shape[0]):
+            img = out[i].repeat(3, -1) if out.shape[-1] == 1 else out[i]
+            a = batch["A"][i]
+            save_image_grid([a, img], os.path.join(args.out_dir, f"{n:05d}.png"))
+            n += 1
+    print(f"sampled {n} images -> {args.out_dir}")
+
+
 def cmd_eval(args):
     from tfcgan_tpu.evaluation.suite import evaluate_dirs
 
@@ -221,6 +254,11 @@ def main(argv=None):
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--spectra", action="store_true")
     sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("gen", parents=[common])
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_gen)
 
     sp = sub.add_parser("eval")
     sp.add_argument("--fake-dir", required=True)

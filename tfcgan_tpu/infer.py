@@ -67,8 +67,17 @@ class Inferencer:
     def __call__(self, batch):
         return self._fn(self.g_params, {k: jnp.asarray(v) for k, v in batch.items()})
 
-    def run_test_set(self, batches, out_dir: str, save_spectra: bool = False) -> int:
-        """Emit the reference-style stacked PNGs; returns images written."""
+    def run_test_set(
+        self, batches, out_dir: str, save_spectra: bool = False,
+        save_patches: int = 0,
+    ) -> int:
+        """Emit the reference-style stacked PNGs; returns images written.
+
+        ``save_patches=grid`` additionally writes per-patch fake/real grids
+        (``test_TFCGAN_16Patches.py:221-270``) into ``patches/``.
+        """
+        from tfcgan_tpu.ops.patches import patchify
+
         os.makedirs(out_dir, exist_ok=True)
         n = 0
         for batch in batches:
@@ -91,6 +100,16 @@ class Inferencer:
                     save_image_grid(
                         [norm(spec_f), norm(spec_r)],
                         os.path.join(out_dir, "spectra", f"{n:05d}_mag.png"),
+                    )
+                if save_patches and not isinstance(out, dict):
+                    g = save_patches
+                    fp = np.asarray(patchify(jnp.asarray(out[i][None]), g))[:, 0]
+                    rp = np.asarray(patchify(jnp.asarray(batch["B"][i][None]), g))[:, 0]
+                    row_f = np.concatenate(list(fp), axis=1)
+                    row_r = np.concatenate(list(rp), axis=1)
+                    save_image_grid(
+                        [row_f, row_r],
+                        os.path.join(out_dir, "patches", f"{n:05d}_p.png"),
                     )
                 n += 1
         return n
