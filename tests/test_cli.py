@@ -1,0 +1,52 @@
+"""CLI surface guards: parsers construct, experiments resolve."""
+
+import pytest
+
+from tfcgan_tpu import cli
+from tfcgan_tpu.config import EXPERIMENTS, get_experiment
+from tfcgan_tpu.recipes import build_recipe
+
+
+class TestCLI:
+    @pytest.mark.parametrize("cmd", [
+        ["train", "--experiment", "fft_glo"],
+        ["test", "--experiment", "fft_glo", "--checkpoint", "x"],
+        ["gen", "--experiment", "tfc_diff", "--checkpoint", "x"],
+        ["eval", "--fake-dir", "a", "--real-dir", "b"],
+        ["eval-reg", "--real-a-dir", "a", "--real-b-dir", "b", "--reg-b-dir", "c"],
+        ["prep-combine", "--dir-a", "a", "--dir-b", "b", "--dir-ab", "c"],
+        ["prep-crop", "--stack-dir", "a", "--out-root", "b"],
+    ])
+    def test_parsers_accept(self, cmd, monkeypatch):
+        # parse_args succeeds and dispatch target exists; don't execute
+        import argparse
+
+        parser_calls = {}
+
+        def fake_fn(args):
+            parser_calls["fn"] = True
+
+        # build the parser exactly as main() does, but stub execution
+        import unittest.mock as mock
+
+        with mock.patch.object(cli, "cmd_train", fake_fn), \
+             mock.patch.object(cli, "cmd_test", fake_fn), \
+             mock.patch.object(cli, "cmd_gen", fake_fn), \
+             mock.patch.object(cli, "cmd_eval", fake_fn), \
+             mock.patch.object(cli, "cmd_eval_reg", fake_fn), \
+             mock.patch.object(cli, "cmd_prep_combine", fake_fn), \
+             mock.patch.object(cli, "cmd_prep_crop", fake_fn):
+            cli.main(cmd)
+        assert parser_calls.get("fn")
+
+
+class TestRegistry:
+    def test_every_experiment_builds_a_recipe(self):
+        for name in EXPERIMENTS:
+            cfg = get_experiment(name)
+            recipe = build_recipe(cfg)
+            assert hasattr(recipe, "g_loss") and hasattr(recipe, "d_loss"), name
+
+    def test_experiment_count_covers_reference_matrix(self):
+        # 13 tfcgan-family + 3 stn + 4 baselines/diffusion-variants + ...
+        assert len(EXPERIMENTS) >= 24, sorted(EXPERIMENTS)
