@@ -13,12 +13,34 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import hashlib
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _host_fingerprint() -> str:
+    """CPU-feature hash for the cache key. XLA:CPU's persistent cache does
+    not key on host machine features: executables AOT-compiled on one machine
+    load on another with an error log ("machine type ... doesn't match") and
+    *different instruction selection* — which breaks bit-exactness guarantees
+    (caught by the DP-equivalence test when the sandbox moved hosts)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nocpuinfo"
+
+
 # Persistent compilation cache: the trainer tests compile full GAN steps,
-# which is minutes of XLA time on CPU — cache across runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# which is minutes of XLA time on CPU — cache across runs (per host type).
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest

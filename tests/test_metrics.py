@@ -141,3 +141,34 @@ class TestFFTMagMSE:
         x = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
         got = np.asarray(ops.fft_mag_mse(jnp.asarray(x), jnp.asarray(x)))
         np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+class TestFaceMeshOverlay:
+    def test_draw_landmarks_and_directory(self, tmp_path):
+        from PIL import Image
+        from tfcgan_tpu.evaluation.face_mesh import (
+            draw_landmarks, overlay_directory,
+        )
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        pts = np.array([[8.0, 8.0], [24.0, 8.0], [16.0, 24.0]])
+        out = draw_landmarks(img, pts, connections=[(0, 1), (1, 2)])
+        assert out.shape == img.shape
+        assert out.sum() > 0  # something was drawn
+        assert img.sum() == 0  # input untouched
+
+        src = tmp_path / "real_B"
+        src.mkdir()
+        Image.fromarray(img).save(src / "0001.png")
+        # swap-in detector (mediapipe unavailable here)
+        fake = lambda image: (pts, [(0, 1)])
+        n = overlay_directory(str(src), str(tmp_path / "real_B_mesh"), detector=fake)
+        assert n == 1
+        assert (tmp_path / "real_B_mesh" / "0001.png").exists()
+
+    def test_mediapipe_gate_raises_cleanly(self):
+        import pytest as _pytest
+        from tfcgan_tpu.evaluation import face_mesh
+
+        with _pytest.raises(ImportError, match="mediapipe"):
+            face_mesh.detect_landmarks_mediapipe(np.zeros((8, 8, 3), np.uint8))

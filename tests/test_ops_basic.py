@@ -255,3 +255,35 @@ class TestWGAN:
         assert gp < 1e-8
         assert float(wgan_g_loss(jnp.ones((2, 2)))) == -1.0
         assert float(wgan_d_loss(jnp.zeros((2,)), jnp.ones((2,)))) == 1.0
+
+
+class TestSaliencyMask:
+    def test_matches_torch_kornia_formula(self):
+        # Torch replica of kornia's documented pipeline
+        # (laplacian(7) -> minmax -> gaussian_blur2d((9,9),(1.6,1.6)) -> /max)
+        # built independently with F.conv2d + reflect padding.
+        x = rand(2, 32, 32, 3, seed=3)
+        got = np.asarray(ops.saliency_mask(jnp.asarray(x)))
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        gray = 0.299 * xt[:, 0:1] + 0.587 * xt[:, 1:2] + 0.114 * xt[:, 2:3]
+        k = torch.ones(7, 7)
+        k[3, 3] = 1.0 - 49.0
+        k = k / k.abs().sum()
+        lap = F.conv2d(F.pad(gray, (3, 3, 3, 3), mode="reflect"), k[None, None]).abs()
+        norm = (lap - lap.min()) / (lap.max() - lap.min())
+        xg = torch.arange(9, dtype=torch.float32) - 4
+        g = torch.exp(-xg**2 / (2 * 1.6**2))
+        g = g / g.sum()
+        b = F.conv2d(F.pad(norm, (4, 4, 0, 0), mode="reflect"), g[None, None, None, :])
+        b = F.conv2d(F.pad(b, (0, 0, 4, 4), mode="reflect"), g[None, None, :, None])
+        want = (b / b.max()).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_range_and_grad(self):
+        x = jnp.asarray(rand(1, 16, 16, 3, seed=4))
+        m = ops.saliency_mask(x)
+        assert m.shape == (1, 16, 16, 1)
+        assert float(m.min()) >= 0.0 and float(m.max()) <= 1.0 + 1e-6
+        gr = jax.grad(lambda im: ops.saliency_mask(im).sum())(x)
+        assert np.isfinite(np.asarray(gr)).all()

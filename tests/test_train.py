@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import torch
 
 import jax
 import jax.numpy as jnp
@@ -85,7 +86,8 @@ class TestFFTGloTraining:
 class TestRecipeMatrix:
     @pytest.mark.parametrize(
         "name", ["fft_glo_16p", "fft_patch_16", "original_16p", "ablation_nopatch",
-                  "ablation_noperc", "fft_patch_region", "fft_patch_region_kl"]
+                  "ablation_noperc", "fft_patch_region", "fft_patch_region_kl",
+                  "fft_patch_mask"]
     )
     def test_one_step_runs(self, name):
         cfg = small_cfg(name)
@@ -388,6 +390,38 @@ class TestLRSchedules:
         assert start == pytest.approx(cfg.optim.lr, rel=1e-5)
         assert end < start
 
+    def test_plateau_controller_matches_torch(self):
+        # Same decision sequence as torch ReduceLROnPlateau(min, 0.2, 5, 0.01)
+        from tfcgan_tpu.train.state import ReduceLROnPlateau
+
+        sched = ReduceLROnPlateau(lr=0.1)
+        t = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=0.1),
+            mode="min", factor=0.2, threshold=0.01, patience=5,
+        )
+        rng = np.random.RandomState(0)
+        metrics = np.abs(rng.randn(40)) + 0.01
+        metrics[10:] = 1.0  # long plateau forces reductions
+        for m in metrics:
+            got = sched.step(float(m))
+            t.step(float(m))
+            want = t.optimizer.param_groups[0]["lr"]
+            assert got == pytest.approx(want, rel=1e-9), (m, got, want)
+
+    def test_plateau_updates_opt_state(self):
+        from tfcgan_tpu.train.state import set_learning_rate
+
+        cfg = small_cfg()
+        cfg = cfg.replace(optim=cfg.optim.__class__(schedule="plateau"))
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state = set_learning_rate(state, 1e-5)
+        state, metrics = step_once(trainer, state, batch)
+        assert np.isfinite(float(metrics["loss_G"]))
+        assert float(state.g_opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
 
 class TestSTNVariants:
     @pytest.mark.parametrize("name", ["stn_dark_visible", "stn_b2a"])
@@ -411,3 +445,47 @@ class TestSTNVariants:
             assert "g_fft" in metrics
         else:
             assert "g_morph" not in metrics
+
+
+class TestDPNumericalEquivalence:
+    def test_1dev_vs_8dev_same_losses_and_grads(self):
+        """Data parallelism must be a pure implementation detail: the same
+        global batch on a 1-device and an 8-device mesh gives the same losses
+        and G gradients (up to fp32 reduction-order noise from the psum).
+
+        Post-Adam *parameters* are deliberately not compared: near-zero
+        gradient elements can flip sign under reduction reordering and Adam
+        turns a sign flip into a full ±lr update."""
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=8, image_size=64, seed=0)
+
+        def run(n_dev):
+            trainer = Trainer(cfg, recipe, mesh=make_mesh(n_dev))
+            state = trainer.init_state(jax.random.PRNGKey(3), batch)
+            sb = shard_batch(batch, trainer.mesh)
+            step = trainer.compiled_step()
+            grads, _ = jax.jit(jax.grad(recipe.g_loss, has_aux=True))(
+                state.g_params, state.d_params, state.spectral, state.frozen,
+                sb, jax.random.PRNGKey(5),
+            )
+            _, metrics = step(state, sb)
+            return {k: float(v) for k, v in metrics.items()}, jax.device_get(grads)
+
+        m1, g1 = run(1)
+        m8, g8 = run(8)
+        for k in m1:
+            assert m1[k] == pytest.approx(m8[k], rel=2e-3, abs=1e-5), (k, m1[k], m8[k])
+
+        def close(x, y):
+            # per-leaf scale-relative bound: the 8-way psum reorders fp32
+            # accumulation, and conv-kernel grads sum ~32k partially
+            # cancelling terms, so element-wise rtol is meaningless for
+            # near-zero elements. Observed noise ~5e-4 of leaf scale; a
+            # sharding bug (wrong mean, missing shard) shifts O(scale).
+            scale = np.max(np.abs(x)) + 1e-8
+            np.testing.assert_allclose(x / scale, y / scale, atol=3e-3)
+
+        jax.tree_util.tree_map(close, g1, g8)

@@ -147,8 +147,11 @@ def cmd_test(args):
     template = trainer.init_state(jax.random.PRNGKey(0), first)
     state = restore_checkpoint(args.checkpoint, jax.device_get(template))
     inf = Inferencer(cfg, recipe, state.g_params)
+    # drop_last=False: inference must cover EVERY test image (the reference
+    # runs batch 1); the ragged final batch costs one extra compile.
     n = inf.run_test_set(
-        batch_iterator(ds, args.batch_size or 8, shuffle=False, epochs=1),
+        batch_iterator(ds, args.batch_size or 8, shuffle=False, epochs=1,
+                       drop_last=False),
         args.out_dir, save_spectra=args.spectra,
     )
     print(f"wrote {n} stacks to {args.out_dir}")
@@ -174,7 +177,8 @@ def cmd_gen(args):
     ds = PairedImageDataset(cfg.data.root, "test", cfg.data.image_size, cfg.data.direction)
     os.makedirs(args.out_dir, exist_ok=True)
     n = 0
-    for batch in batch_iterator(ds, args.batch_size or 4, shuffle=False, epochs=1):
+    for batch in batch_iterator(ds, args.batch_size or 4, shuffle=False, epochs=1,
+                                drop_last=False):
         if "LAB" not in batch:
             batch["LAB"] = np.zeros((batch["A"].shape[0],), np.int32)
         out = np.asarray(recipe.sample(state.g_params, batch,
@@ -226,6 +230,13 @@ def cmd_prep_crop(args):
 
     n = crop_stacks(args.stack_dir, args.out_root, args.roles.split(","))
     print(f"cropped {n} stacks -> {args.out_root}")
+
+
+def cmd_mesh(args):
+    from tfcgan_tpu.evaluation.face_mesh import overlay_directory
+
+    n = overlay_directory(args.src_dir, args.out_dir)
+    print(f"annotated {n} faces -> {args.out_dir}")
 
 
 def main(argv=None):
@@ -284,6 +295,11 @@ def main(argv=None):
     sp.add_argument("--out-root", required=True)
     sp.add_argument("--roles", default="real_A,fake_B,real_B")
     sp.set_defaults(fn=cmd_prep_crop)
+
+    sp = sub.add_parser("mesh", help="face-landmark overlays (TFC-STN/mesh.py)")
+    sp.add_argument("--src-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_mesh)
 
     args = p.parse_args(argv)
     args.fn(args)

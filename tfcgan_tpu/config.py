@@ -67,6 +67,10 @@ class LossConfig:
     # regional FFT loss (withregion variants): "off" | "l1" | "kl"
     region_fft: str = "off"
     region_fft_weight: float = 1e-4
+    # Gaussian saliency-mask experiment (patchFFT_experiment.py): extra mask
+    # input channel to G + L1 mask-consistency loss
+    use_mask: bool = False
+    mask_weight: float = 0.5
     # debiased family
     conditional: bool = False
     num_classes: int = 4
@@ -138,6 +142,14 @@ register(ExperimentConfig(name="original_16p", loss=_loss(fft_mode="off", patch_
 register(ExperimentConfig(name="fft_patch_region", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="l1")))
 register(ExperimentConfig(name="fft_patch_region_kl", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="kl")))
 register(ExperimentConfig(name="fft_patch_debiased", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, conditional=True)))
+# Gaussian-mask experiment (TFCGAN_multigpu_patchFFT_experiment.py): saliency
+# mask as a 4th G input channel + L1 mask loss; G loss = 0.5·adv + 0.5·lpips
+# + 0.5·triplet + 0.5·temp + 0.001·FFT + 0.5·mask (``:587``)
+register(ExperimentConfig(
+    name="fft_patch_mask",
+    loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2,
+               triplet_weight=0.5, fft_weight=0.001, use_mask=True),
+))
 # favtgan lineage (TFC-GAN-FFT/src/) — pre-FFT base models and ablations
 register(ExperimentConfig(name="triptemp_base", loss=_loss(fft_mode="off", patch_grid=2)))
 register(ExperimentConfig(name="triptemp_16p", loss=_loss(fft_mode="off", patch_grid=4)))

@@ -30,8 +30,9 @@ class Inferencer:
         name = cfg.recipe
         if name == "tfcgan":
             self._fn = jax.jit(
-                lambda p, batch: recipe.G.apply({"params": p["G"]}, batch["A"],
-                                                deterministic=True)
+                lambda p, batch: recipe.G.apply(
+                    {"params": p["G"]}, recipe._g_input(batch),
+                    deterministic=True)
                 if not cfg.loss.conditional
                 else recipe.G.apply(
                     {"params": p["G"]}, batch["A"],

@@ -184,7 +184,7 @@ class TFCGANRecipe:
             g_vars = self.G.init(kg, a, lab)
             d_vars = self.D.init(kd, a, b)
         else:
-            g_vars = self.G.init(kg, a)
+            g_vars = self.G.init(kg, self._g_input(batch))
             d_vars = self.D.init(kd, a, b)
         frozen = {}
         if self.lpips is not None:
@@ -209,6 +209,14 @@ class TFCGANRecipe:
         }
 
     # -------------------------------------------------------------- helpers
+    def _g_input(self, batch):
+        """G input: real_A, optionally ⊕ its saliency mask as a 4th channel
+        (``patchFFT_experiment.py:548,563``: G takes (real_A, mask_A))."""
+        a = batch["A"]
+        if self.cfg.loss.use_mask:
+            return jnp.concatenate([a, ops.saliency_mask(a).astype(a.dtype)], -1)
+        return a
+
     def _gen(self, g_params, batch, rng, deterministic=False):
         if self.cfg.loss.conditional:
             lab = jax.nn.one_hot(batch["LAB"], self.cfg.loss.num_classes)
@@ -217,7 +225,7 @@ class TFCGANRecipe:
                 deterministic=deterministic, rngs={"dropout": rng},
             )
         return self.G.apply(
-            {"params": g_params["G"]}, batch["A"],
+            {"params": g_params["G"]}, self._g_input(batch),
             deterministic=deterministic, rngs={"dropout": rng},
         )
 
@@ -274,6 +282,12 @@ class TFCGANRecipe:
             reg = regional_fft_loss(fake_b, b, cfg)
             total += cfg.region_fft_weight * reg
             metrics["g_region_fft"] = reg
+        if cfg.use_mask:
+            # L1 between saliency masks of fake and real
+            # (``patchFFT_experiment.py:584``)
+            mask = jnp.mean(jnp.abs(ops.saliency_mask(fake_b) - ops.saliency_mask(b)))
+            total += cfg.mask_weight * mask
+            metrics["g_mask"] = mask
         if cfg.conditional:
             lab = batch["LAB"]
             r1 = round(100 * fake_b.shape[1] / 256)

@@ -64,15 +64,73 @@ def _lr(cfg: ExperimentConfig):
             return o.lr * 0.5 * (1.0 + jax.numpy.cos(jax.numpy.pi * epoch / n))
 
         return sched
+    if o.schedule == "plateau":
+        # metric-driven: the step-level lr is constant; ReduceLROnPlateau
+        # rewrites it at epoch boundaries via set_learning_rate().
+        return o.lr
     raise ValueError(o.schedule)
 
 
 def make_optimizers(cfg: ExperimentConfig) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
     o = cfg.optim
     lr = _lr(cfg)
+    if o.schedule == "plateau":
+        # inject_hyperparams exposes learning_rate in the opt state so the
+        # host-side plateau controller can rewrite it between epochs.
+        make = optax.inject_hyperparams(optax.adam)
+        return make(learning_rate=lr, b1=o.b1, b2=o.b2), make(
+            learning_rate=lr, b1=o.b1, b2=o.b2
+        )
     g_tx = optax.adam(lr, b1=o.b1, b2=o.b2)
     d_tx = optax.adam(lr, b1=o.b1, b2=o.b2)
     return g_tx, d_tx
+
+
+class ReduceLROnPlateau:
+    """NeMAR's 'plateau' mode (``nemar/models/networks.py:32-45``): torch
+    ``ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01, patience=5)``.
+
+    The reference wires the scheduler but never feeds it a metric (SURVEY §2.7
+    "unused upstream"); here ``step(metric)`` is called once per epoch with a
+    validation loss and returns the lr to install via ``set_learning_rate``.
+    Semantics match torch's rel-threshold min mode: an epoch improves when
+    ``metric < best·(1−threshold)``; after ``patience`` consecutive
+    non-improving epochs lr ← lr·factor (best is kept, not reset).
+    """
+
+    def __init__(self, lr: float, factor: float = 0.2, patience: int = 5,
+                 threshold: float = 0.01, min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad_epochs = 0
+        return self.lr
+
+
+def set_learning_rate(state: GANTrainState, lr: float) -> GANTrainState:
+    """Install a new lr into both inject_hyperparams opt states (plateau)."""
+
+    def upd(s):
+        return s._replace(
+            hyperparams={**s.hyperparams, "learning_rate": jax.numpy.asarray(lr, jax.numpy.float32)}
+        )
+
+    return state.replace(
+        g_opt_state=upd(state.g_opt_state), d_opt_state=upd(state.d_opt_state)
+    )
 
 
 def create_state(cfg: ExperimentConfig, recipe, key: jax.Array, batch) -> GANTrainState:
