@@ -19,7 +19,7 @@ import time
 
 V100_IMG_PER_SEC = 30.0  # estimated reference throughput per V100 (see above)
 
-BATCH = 96  # best measured throughput (tools/bench_batch.py: 32->202, 64->200, 96->237 img/s)
+BATCH = 128  # best measured throughput (tools/bench_batch.py: 32->202, 96->237, 128->264 img/s; 160 exceeds the remote-compile helper)
 SIZE = 256
 WARMUP = 3
 ITERS = 10

@@ -177,6 +177,19 @@ register(ExperimentConfig(
                temp_weight=1.0),
     data=DataConfig(extra_roots=("<second-dataset-root>",)),
 ))
+# 16-patch balanced variants (favtgan_..._TripTemp_ED_16Patch.py / _EA_16Patch.py)
+register(ExperimentConfig(
+    name="triptemp_ed_16p",
+    loss=_loss(fft_mode="off", patch_grid=4, adv_weight=1.0, lpips_weight=1.0,
+               temp_weight=1.0),
+    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+))
+register(ExperimentConfig(
+    name="triptemp_ea_16p",
+    loss=_loss(fft_mode="off", patch_grid=4, adv_weight=1.0, lpips_weight=1.0,
+               temp_weight=1.0),
+    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+))
 register(ExperimentConfig(name="ablation_nopatch", loss=_loss(fft_mode="off", patch_grid=0)))
 register(ExperimentConfig(name="ablation_noperc", loss=_loss(fft_mode="off", patch_grid=4, use_lpips=False)))
 register(ExperimentConfig(name="ablation_notemp", loss=_loss(fft_mode="off", patch_grid=4, use_temp=False)))
