@@ -50,3 +50,15 @@ class TestRegistry:
     def test_experiment_count_covers_reference_matrix(self):
         # 13 tfcgan-family + 3 stn + 4 baselines/diffusion-variants + ...
         assert len(EXPERIMENTS) >= 24, sorted(EXPERIMENTS)
+
+
+class TestDistributedHelpers:
+    def test_local_batch_slice_single_process(self):
+        import numpy as np
+        from tfcgan_tpu.parallel.distributed import initialize, local_batch_slice
+
+        initialize()  # no-op single-process
+        b = {"A": np.arange(16).reshape(8, 2), "T": np.arange(8)}
+        out = local_batch_slice(b)
+        assert np.array_equal(out["A"], b["A"])  # 1 process keeps everything
+        assert np.array_equal(out["T"], b["T"])

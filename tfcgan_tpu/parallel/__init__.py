@@ -7,3 +7,4 @@ from tfcgan_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from tfcgan_tpu.parallel.distributed import initialize, local_batch_slice
