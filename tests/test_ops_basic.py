@@ -287,3 +287,68 @@ class TestSaliencyMask:
         assert float(m.min()) >= 0.0 and float(m.max()) <= 1.0 + 1e-6
         gr = jax.grad(lambda im: ops.saliency_mask(im).sum())(x)
         assert np.isfinite(np.asarray(gr)).all()
+
+
+class TestDDPMSchedule:
+    """Golden tests vs an independent numpy implementation of the published
+    diffusers equations (DDPMScheduler, squaredcos_cap_v2, fixed_small,
+    clip_sample=True) — the reference's scheduler config
+    (TFC-Diff/prototype_condA.py:137)."""
+
+    def _np_betas(self, T, max_beta=0.999):
+        import math as m
+        ab = lambda t: m.cos((t + 0.008) / 1.008 * m.pi / 2) ** 2
+        return np.array(
+            [min(1 - ab((i + 1) / T) / ab(i / T), max_beta) for i in range(T)],
+            np.float32,
+        )
+
+    def test_betas_and_alphas_cumprod(self):
+        from tfcgan_tpu.models.diffusion import DDPMSchedule
+
+        sched = DDPMSchedule(num_timesteps=500)
+        want = self._np_betas(500)
+        np.testing.assert_allclose(np.asarray(sched.betas()), want, atol=2e-6)
+        # diffusers cumprods the fp32 betas in fp32
+        np.testing.assert_allclose(
+            np.asarray(sched.alphas_cumprod()),
+            np.cumprod((1 - want).astype(np.float32), dtype=np.float32),
+            rtol=2e-5,
+        )
+
+    def test_add_noise_and_ancestral_step(self):
+        from tfcgan_tpu.models.diffusion import DDPMSchedule
+
+        T = 50
+        sched = DDPMSchedule(num_timesteps=T)
+        betas = self._np_betas(T).astype(np.float64)
+        abar = np.cumprod(1 - betas)
+        rng = np.random.RandomState(0)
+        x0 = np.clip(rng.randn(2, 4, 4, 1) * 0.5, -1, 1).astype(np.float32)
+        noise = rng.randn(2, 4, 4, 1).astype(np.float32)
+        t = np.array([3, 17])
+
+        got = np.asarray(sched.add_noise(jnp.asarray(x0), jnp.asarray(noise), jnp.asarray(t)))
+        want = (np.sqrt(abar[t])[:, None, None, None] * x0
+                + np.sqrt(1 - abar[t])[:, None, None, None] * noise)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        # one ancestral step at a scalar t, same key-derived gaussian
+        tt = 17
+        x_t = want[1:2]
+        eps = rng.randn(1, 4, 4, 1).astype(np.float32)
+        key = jax.random.PRNGKey(9)
+        got = np.asarray(sched.step(jnp.asarray(eps), tt, jnp.asarray(x_t), key))
+        z = np.asarray(jax.random.normal(key, x_t.shape, jnp.float32))
+        px0 = (x_t - np.sqrt(1 - abar[tt]) * eps) / np.sqrt(abar[tt])
+        px0 = np.clip(px0, -1.0, 1.0)
+        c0 = np.sqrt(abar[tt - 1]) * betas[tt] / (1 - abar[tt])
+        ct = np.sqrt(1 - betas[tt]) * (1 - abar[tt - 1]) / (1 - abar[tt])
+        var = max(betas[tt] * (1 - abar[tt - 1]) / (1 - abar[tt]), 1e-20)
+        want = c0 * px0 + ct * x_t + np.sqrt(var) * z
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        # t=0 adds no noise
+        got0 = np.asarray(sched.step(jnp.asarray(eps), 0, jnp.asarray(x_t), key))
+        px0 = np.clip((x_t - np.sqrt(1 - abar[0]) * eps) / np.sqrt(abar[0]), -1, 1)
+        np.testing.assert_allclose(got0, px0, atol=5e-5)

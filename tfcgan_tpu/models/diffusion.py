@@ -29,15 +29,21 @@ class DDPMSchedule:
     max_beta: float = 0.999
 
     def betas(self) -> jnp.ndarray:
-        t = jnp.arange(self.num_timesteps + 1, dtype=jnp.float32) / self.num_timesteps
+        # static schedule: built host-side in float64 then cast, matching
+        # diffusers' betas_for_alpha_bar (Python floats -> fp32 tensor); an
+        # all-fp32 computation drifts ~1e-5 where ᾱ -> 0
+        import numpy as np
+
+        t = np.arange(self.num_timesteps + 1, dtype=np.float64) / self.num_timesteps
 
         def abar(x):
-            return jnp.cos((x + 0.008) / 1.008 * math.pi / 2) ** 2
+            return np.cos((x + 0.008) / 1.008 * math.pi / 2) ** 2
 
         ratio = abar(t[1:]) / abar(t[:-1])
-        return jnp.clip(1.0 - ratio, 0.0, self.max_beta)
+        return jnp.asarray(np.clip(1.0 - ratio, 0.0, self.max_beta), jnp.float32)
 
     def alphas_cumprod(self) -> jnp.ndarray:
+        # fp32 cumprod of the fp32 betas — diffusers-exact
         return jnp.cumprod(1.0 - self.betas())
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
