@@ -304,3 +304,37 @@ class TestResNetGenerator:
         params = m.init(jax.random.PRNGKey(0), x)
         y = m.apply(params, x)
         assert y.shape == (1, 64, 64, 3)
+
+
+class TestTrainBatchNorm:
+    def test_matches_torch_train_mode_eps_08(self):
+        # ThermalGAN2.py:91 — BatchNorm2d(out, 0.8): positional 0.8 is eps
+        import torch
+        from tfcgan_tpu.models.thermalgan import TrainBatchNorm
+
+        x = np.random.RandomState(0).randn(4, 6, 6, 5).astype(np.float32)
+        mod = TrainBatchNorm()
+        vars_ = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+        t = torch.nn.BatchNorm2d(5, 0.8)
+        with torch.no_grad():
+            t.weight.copy_(torch.from_numpy(np.asarray(vars_["params"]["scale"])))
+            t.bias.copy_(torch.from_numpy(np.asarray(vars_["params"]["bias"])))
+        t.train()
+        want = t(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_g1_batch_variant_structure(self):
+        from tfcgan_tpu.models.thermalgan import GeneratorG1
+
+        g = GeneratorG1(norm="batch")
+        x = jnp.zeros((2, 128, 128, 3))
+        t = jnp.zeros((2, 128, 128))
+        v = g.init(jax.random.PRNGKey(0), x, t)
+        p = v["params"]
+        assert "bn" in p["down2"] and "bn" not in p["down1"]
+        assert "bn" not in p["down7"]  # ThermalGAN2: down7 normalize=False
+        assert "bn" in p["up1"]
+        y = g.apply(v, x, t)
+        assert y.shape == (2, 128, 128, 3)

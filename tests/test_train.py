@@ -489,3 +489,20 @@ class TestDPNumericalEquivalence:
             np.testing.assert_allclose(x / scale, y / scale, atol=3e-3)
 
         jax.tree_util.tree_map(close, g1, g8)
+
+
+class TestThermalGANBN:
+    def test_one_step_thermalgan2_variant(self):
+        cfg = get_experiment("thermalgan_bn")
+        cfg = cfg.replace(  # 7-level UNet needs >=128 input
+            data=cfg.data.__class__(batch_size=8, image_size=128),
+            train=cfg.train.__class__(compute_dtype="float32"),
+        )
+        recipe = build_recipe(cfg)
+        assert recipe.G1.norm == "batch"
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=8, image_size=128)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = step_once(trainer, state, batch)
+        assert np.isfinite(float(metrics["g_ge"]))
+        assert np.isfinite(float(metrics["loss_D"]))

@@ -214,6 +214,9 @@ register(ExperimentConfig(
     train=TrainConfig(n_epochs=200),
 ))
 register(ExperimentConfig(name="thermalgan", recipe="thermalgan"))
+# ThermalGAN2.py: G1 with train-mode BatchNorm (the positional eps=0.8 quirk)
+register(ExperimentConfig(name="thermalgan_bn", recipe="thermalgan",
+                          extra={"g1_norm": "batch"}))
 register(ExperimentConfig(name="nemar", recipe="nemar"))
 register(ExperimentConfig(
     name="tfc_diff", recipe="diffusion",

@@ -21,9 +21,39 @@ from tfcgan_tpu.models.layers import TorchConv, TorchConvTranspose, upsample_nea
 from tfcgan_tpu.ops.norm import instance_norm
 
 
+class TrainBatchNorm(nn.Module):
+    """torch ``BatchNorm2d(out, 0.8)`` in train mode (``ThermalGAN2.py:91,
+    105``). The positional 0.8 lands on **eps**, not momentum — an old-GAN-
+    repo quirk kept for parity. Running statistics are not tracked: the
+    reference never runs this net in eval mode (sampling happens mid-training
+    under train()), so normalization always uses the batch statistics —
+    torch's biased (1/N) variance. Under data-parallel sharding XLA computes
+    the *global* batch moments (unlike DataParallel's per-GPU stats, a quirk
+    SURVEY §7 says not to copy)."""
+
+    eps: float = 0.8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        # weights_init_normal (ThermalGAN2.py:375-381): weight~N(1,0.02), bias 0
+        scale = self.param(
+            "scale",
+            lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s, jnp.float32), (c,),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
 class _DownBic(nn.Module):
     feats: int
     normalize: bool = True
+    norm: str = "instance"  # "instance" (ThermalGAN) | "batch" (ThermalGAN2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -32,12 +62,16 @@ class _DownBic(nn.Module):
                       padding=((1, 1), (1, 1)), use_bias=False,
                       dtype=self.dtype, name="conv")(x)
         if self.normalize:
-            x = instance_norm(x)
+            if self.norm == "batch":
+                x = TrainBatchNorm(dtype=self.dtype, name="bn")(x)
+            else:
+                x = instance_norm(x)
         return nn.leaky_relu(x, 0.2)
 
 
 class _UpBic(nn.Module):
     feats: int
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,15 +79,22 @@ class _UpBic(nn.Module):
         x = upsample_nearest_2x(x)
         x = TorchConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = instance_norm(x)
+        if self.norm == "batch":
+            x = TrainBatchNorm(dtype=self.dtype, name="bn")(x)
+        else:
+            x = instance_norm(x)
         x = nn.leaky_relu(x, 0.01)  # reference uses default LeakyReLU slope
         return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
 
 
 class GeneratorG1(nn.Module):
-    """UNet-7 conditioned on a per-pixel temperature plane: forward(x, t)."""
+    """UNet-7 conditioned on a per-pixel temperature plane: forward(x, t).
+
+    ``norm="batch"`` selects the ThermalGAN2 variant (BatchNorm blocks and
+    ``down7 normalize=False``, ``ThermalGAN2.py:26-32``)."""
 
     out_channels: int = 3
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,13 +103,16 @@ class GeneratorG1(nn.Module):
         h = jnp.concatenate([x.astype(dt), t[..., None].astype(dt)], axis=-1)
         downs = []
         d = h
+        down7_norm = self.norm != "batch"
         for i, (f, norm) in enumerate([(64, False), (128, True), (256, True),
-                                       (512, True), (512, True), (512, True), (512, True)]):
-            d = _DownBic(f, normalize=norm, dtype=dt, name=f"down{i+1}")(d)
+                                       (512, True), (512, True), (512, True),
+                                       (512, down7_norm)]):
+            d = _DownBic(f, normalize=norm, norm=self.norm, dtype=dt,
+                         name=f"down{i+1}")(d)
             downs.append(d)
         u = downs[-1]
         for i, f in enumerate([512, 512, 512, 256, 128, 64]):
-            u = _UpBic(f, dtype=dt, name=f"up{i+1}")(u, downs[-(i + 2)])
+            u = _UpBic(f, norm=self.norm, dtype=dt, name=f"up{i+1}")(u, downs[-(i + 2)])
         u = upsample_nearest_2x(u)
         u = TorchConv(self.out_channels, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
                       dtype=dt, name="final")(u)

@@ -43,7 +43,9 @@ class ThermalGANRecipe:
         self.cfg = cfg
         dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         ch = cfg.data.channels
-        self.G1 = GeneratorG1(out_channels=ch, dtype=dt)
+        # "batch" -> ThermalGAN2 (BatchNorm-eps-0.8 G1, down7 unnormalized)
+        self.G1 = GeneratorG1(out_channels=ch, dtype=dt,
+                              norm=cfg.extra.get("g1_norm", "instance"))
         self.E = Encoder(latent_dim=cfg.extra.get("latent_dim", 8), dtype=dt)
         self.G2 = GeneratorG2(out_channels=ch, dtype=dt)
         self.D_vae = MultiDiscriminator(dtype=dt)
