@@ -57,8 +57,33 @@ class TestDistributedHelpers:
         import numpy as np
         from tfcgan_tpu.parallel.distributed import initialize, local_batch_slice
 
-        initialize()  # no-op single-process
+        initialize(num_processes=1)  # explicit single-process no-op
         b = {"A": np.arange(16).reshape(8, 2), "T": np.arange(8)}
         out = local_batch_slice(b)
         assert np.array_equal(out["A"], b["A"])  # 1 process keeps everything
         assert np.array_equal(out["T"], b["T"])
+
+    def test_initialize_is_strict_after_backend_init(self):
+        # the backend is already up in this process, so a real multi-host
+        # init must FAIL LOUDLY (not silently fall back to single-process)
+        import jax
+        import pytest as _pytest
+        from tfcgan_tpu.parallel.distributed import initialize
+
+        jax.devices()  # ensure backend is initialized
+        with _pytest.raises(RuntimeError):
+            initialize(coordinator_address="127.0.0.1:1", num_processes=2,
+                       process_id=0)
+
+
+class TestRecipeGuards:
+    def test_conditional_plus_mask_rejected(self):
+        import pytest as _pytest
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.recipes import build_recipe
+
+        cfg = get_experiment("fft_patch_debiased")
+        cfg = cfg.replace(loss=cfg.loss.__class__(
+            **{**cfg.loss.__dict__, "use_mask": True}))
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            build_recipe(cfg)

@@ -170,5 +170,11 @@ class TestFaceMeshOverlay:
         import pytest as _pytest
         from tfcgan_tpu.evaluation import face_mesh
 
+        try:
+            import mediapipe  # noqa: F401
+        except ImportError:
+            pass
+        else:
+            _pytest.skip("mediapipe installed — gate not exercised here")
         with _pytest.raises(ImportError, match="mediapipe"):
             face_mesh.detect_landmarks_mediapipe(np.zeros((8, 8, 3), np.uint8))

@@ -116,9 +116,19 @@ def cmd_train(args):
     except FileNotFoundError:
         pass  # no test split — skip sampling
 
+    # metric-driven LR (NeMAR 'plateau'): step once per epoch on loss_G
+    plateau = None
+    if cfg.optim.schedule == "plateau":
+        from tfcgan_tpu.train.state import ReduceLROnPlateau, set_learning_rate
+
+        plateau = ReduceLROnPlateau(cfg.optim.lr)
+
     for epoch in range(cfg.train.n_epochs):
         state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
                             sample_hook=sample_hook)
+        if plateau is not None and trainer.last_metrics is not None:
+            lr = plateau.step(float(trainer.last_metrics["loss_G"]))
+            state = set_learning_rate(state, lr)
         if cfg.train.checkpoint_interval > 0 and epoch % cfg.train.checkpoint_interval == 0:
             path = save_checkpoint(cfg.train.checkpoint_dir, state)
             print(f"\n[epoch {epoch}] checkpoint -> {path}")

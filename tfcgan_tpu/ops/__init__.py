@@ -27,4 +27,4 @@ from tfcgan_tpu.ops.morphology import morphological_gradient, gray_dilation, gra
 from tfcgan_tpu.ops.warp import affine_grid, grid_sample
 from tfcgan_tpu.ops.resize import resize_bicubic_torch
 from tfcgan_tpu.ops.metrics import psnr, ssim, bhattacharyya, ncc, mutual_information, fft_mag_mse
-from tfcgan_tpu.ops.saliency import saliency_mask, gaussian_blur, rgb_to_grayscale
+from tfcgan_tpu.ops.saliency import saliency_mask, gaussian_blur

@@ -56,8 +56,11 @@ def gaussian_kernel1d(size: int, sigma: float) -> jax.Array:
     return g / jnp.sum(g)
 
 
-def rgb_to_grayscale(img: jax.Array) -> jax.Array:
-    """kornia rgb_to_grayscale (Rec.601 weights). (N,H,W,3) -> (N,H,W,1)."""
+def rgb_to_grayscale_kornia(img: jax.Array) -> jax.Array:
+    """kornia rgb_to_grayscale: 0.299/0.587/0.114. (N,H,W,3) -> (N,H,W,1).
+
+    Deliberately named: ``ops.color``'s torchvision lineage uses 0.2989 —
+    don't mix the two in parity paths."""
     w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
     return jnp.sum(img.astype(jnp.float32) * w, axis=-1, keepdims=True)
 
@@ -75,7 +78,7 @@ def saliency_mask(img: jax.Array) -> jax.Array:
     img: (N,H,W,C) in [-1,1] (or any range — the mask is scale-normalized).
     Returns (N,H,W,1) fp32 in [0,1].
     """
-    gray = rgb_to_grayscale(img) if img.shape[-1] == 3 else img.astype(jnp.float32)
+    gray = rgb_to_grayscale_kornia(img) if img.shape[-1] == 3 else img.astype(jnp.float32)
     lap = jnp.abs(_filter2d_reflect(gray, laplacian_kernel2d(7)))
     lo, hi = jnp.min(lap), jnp.max(lap)
     norm = (lap - lo) / jnp.maximum(hi - lo, 1e-12)

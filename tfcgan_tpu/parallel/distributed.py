@@ -29,19 +29,22 @@ def initialize(
     process_id: int | None = None,
 ) -> None:
     """Per-process runtime init. On Cloud TPU all arguments auto-detect from
-    the metadata server; pass them explicitly elsewhere. No-op when the
-    runtime is already initialized or the job is single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError):
-        # single-process run (no coordinator) — the mesh helpers work as-is
-        pass
+    the metadata server; pass them explicitly elsewhere.
+
+    MUST be the first JAX call in the process — even ``jax.devices()`` or
+    ``jax.process_count()`` initializes the local backend, after which
+    ``jax.distributed.initialize`` raises. For that reason this wrapper does
+    NOT probe runtime state first, and errors are propagated rather than
+    swallowed (a silently-single-process "multi-host" job trains N
+    unsynchronized copies). Single-process jobs simply don't call this
+    (``num_processes=1`` is an explicit no-op for launcher convenience)."""
+    if num_processes == 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def local_batch_slice(global_batch: dict, axis: int = 0) -> dict:

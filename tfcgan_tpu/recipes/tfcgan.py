@@ -164,6 +164,10 @@ class TFCGANRecipe:
         self.cfg = cfg
         dt = _dtype(cfg)
         lc = cfg.loss
+        if lc.conditional and lc.use_mask:
+            # no reference trainer combines them, and the conditional G input
+            # path carries no mask channel — reject rather than half-apply
+            raise ValueError("conditional and use_mask are mutually exclusive")
         if lc.conditional:
             self.G = ConditionalGeneratorUNet(out_channels=cfg.data.channels, dtype=dt)
             self.D = AuxClassifierDiscriminator(num_classes=lc.num_classes, dtype=dt)

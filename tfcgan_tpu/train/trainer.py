@@ -91,6 +91,7 @@ class Trainer:
         )
         self.logger = logger
         self._step_fn = None
+        self.last_metrics = None  # most recent step's metric dict (device)
 
     def init_state(self, key: jax.Array, batch) -> GANTrainState:
         batch = shard_batch(batch, self.mesh)
@@ -125,11 +126,13 @@ class Trainer:
         log_every = log_every or self.cfg.train.log_interval
         sample_every = sample_every or self.cfg.train.sample_interval
         t0 = time.time()
+        metrics = None
         for i, batch in enumerate(batches):
             if num_steps is not None and i >= num_steps:
                 break
             batch = shard_batch(batch, self.mesh)
             state, metrics = step_fn(state, batch)
+            self.last_metrics = metrics  # device arrays; sync only on read
             if check_finite:
                 assert_finite(metrics, int(state.step))
             if self.logger is not None and (i % log_every == 0):

@@ -6,7 +6,7 @@ from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
 from tfcgan_tpu.recipes import build_recipe
 from tfcgan_tpu.train.trainer import Trainer
 
-for B in (160,):
+for B in (32, 64, 96, 128):
     cfg = get_experiment("fft_glo")
     cfg = cfg.replace(data=cfg.data.__class__(batch_size=B, image_size=256),
                       train=cfg.train.__class__(compute_dtype="bfloat16"))

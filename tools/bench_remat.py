@@ -1,8 +1,9 @@
 """Does remat (jax.checkpoint) on the LPIPS tower help the memory-bound step?
 
-Peak temp at batch 128 is 16.3 GB (~HBM); the step sits at 57% of the memory
-roofline. Rematerializing LPIPS trades FLOPs (compute floor 180 ms < measured
-486 ms) for less activation traffic + lower peak.
+Measured verdict (v5e-1, b128): NO — 559 ms/step remat vs 486 ms baseline,
+peak temp unchanged at ~16.4 GB (LPIPS activations don't dominate the peak),
+and batch 160 still fails to compile. Kept runnable with both arms for
+re-measurement on other hardware.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, numpy as np
@@ -38,18 +39,16 @@ def run(B, remat):
     compiled = jax.jit(step, donate_argnums=(0,)).lower(state, batch).compile()
     ma = compiled.memory_analysis()
     print(f"B={B} remat={remat}: peak temp {ma.temp_size_in_bytes/1e9:.2f} GB", flush=True)
-    sf = jax.jit(step, donate_argnums=(0,))
     for _ in range(3):
-        state, m = sf(state, batch)
+        state, m = compiled(state, batch)
     float(np.asarray(m["loss_G"]))
     t0 = time.perf_counter()
     for _ in range(6):
-        state, m = sf(state, batch)
+        state, m = compiled(state, batch)
     float(np.asarray(m["loss_G"]))
     dt = (time.perf_counter() - t0) / 6
     print(f"  {dt*1e3:.1f} ms/step -> {B/dt:.1f} img/s", flush=True)
 
 
+run(128, False)
 run(128, True)
-run(160, True)
-run(192, True)
