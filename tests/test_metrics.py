@@ -178,3 +178,14 @@ class TestFaceMeshOverlay:
             _pytest.skip("mediapipe installed — gate not exercised here")
         with _pytest.raises(ImportError, match="mediapipe"):
             face_mesh.detect_landmarks_mediapipe(np.zeros((8, 8, 3), np.uint8))
+
+
+class TestDifferencePlot:
+    def test_five_panel_figure_written(self, tmp_path):
+        from tfcgan_tpu.evaluation.suite import difference_plot
+
+        rng = np.random.RandomState(0)
+        a, b, rb = (np.tanh(rng.randn(24, 24, 3)).astype(np.float32) for _ in range(3))
+        out = tmp_path / "plots" / "0001.png"
+        difference_plot(a, b, rb, str(out))
+        assert out.exists() and out.stat().st_size > 0

@@ -506,3 +506,38 @@ class TestThermalGANBN:
         state, metrics = step_once(trainer, state, batch)
         assert np.isfinite(float(metrics["g_ge"]))
         assert np.isfinite(float(metrics["loss_D"]))
+
+
+class TestResumeBitExact:
+    def test_interrupted_run_continues_bit_identically(self, tmp_path):
+        """Full-state checkpoints (params + both optimizers + spectral + PRNG
+        + step) must make resume invisible: 2 steps + save/restore + 2 steps
+        == 4 uninterrupted steps, bit for bit. (The reference loses optimizer
+        moments, scaler, and RNG on resume — SURVEY §5.3/§5.4.)"""
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batches = [synthetic_batch(batch_size=8, image_size=64, seed=s)
+                   for s in range(4)]
+
+        def run(bs, state):
+            return trainer.fit(state, bs)
+
+        straight = run(batches, trainer.init_state(jax.random.PRNGKey(11), batches[0]))
+
+        state = run(batches[:2], trainer.init_state(jax.random.PRNGKey(11), batches[0]))
+        path = save_checkpoint(str(tmp_path), state)
+        template = trainer.init_state(jax.random.PRNGKey(12), batches[0])
+        restored = restore_checkpoint(path, jax.device_get(template))
+        from tfcgan_tpu.parallel.mesh import replicate
+
+        resumed = run(batches[2:], replicate(restored, trainer.mesh))
+
+        assert int(resumed.step) == int(straight.step) == 4
+        for field in ("g_params", "d_params", "spectral"):
+            eq = jax.tree_util.tree_map(
+                lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+                jax.device_get(getattr(straight, field)),
+                jax.device_get(getattr(resumed, field)),
+            )
+            assert all(jax.tree_util.tree_leaves(eq)), field

@@ -225,6 +225,14 @@ def cmd_eval_reg(args):
     df = pd.DataFrame({"file": files, **m})
     if args.out_csv:
         df.to_csv(args.out_csv, index=False)
+    if getattr(args, "plots_dir", None):
+        from tfcgan_tpu.evaluation.suite import difference_plot
+
+        for i, f in enumerate(files):
+            stem = os.path.splitext(f)[0]
+            difference_plot(a[i] / 127.5 - 1, b[i] / 127.5 - 1, rb[i] / 127.5 - 1,
+                            os.path.join(args.plots_dir, f"{stem}.png"))
+        print(f"difference plots -> {args.plots_dir}")
     print(df.drop(columns=["file"]).mean().to_string())
 
 
@@ -292,6 +300,8 @@ def main(argv=None):
     sp.add_argument("--real-b-dir", required=True)
     sp.add_argument("--reg-b-dir", required=True)
     sp.add_argument("--out-csv", default=None)
+    sp.add_argument("--plots-dir", default=None,
+                    help="emit 5-panel before/after difference plots")
     sp.set_defaults(fn=cmd_eval_reg)
 
     sp = sub.add_parser("prep-combine")

@@ -105,3 +105,39 @@ def crop_stack(stack_path: str, out_dirs: list[str], num: int = 3) -> None:
     for i, d in enumerate(out_dirs[:num]):
         os.makedirs(d, exist_ok=True)
         Image.fromarray(img[i * h : (i + 1) * h]).save(os.path.join(d, base))
+
+
+def difference_plot(
+    real_a: np.ndarray, real_b: np.ndarray, reg_b: np.ndarray, out_path: str
+) -> None:
+    """5-panel before/after registration figure
+    (``TFC-STN/evaluation/evaluation.py:23-80``): Visible | Before |
+    Registered | Diff-Before | Diff-Registered, grayscale 'bone' panels and
+    'RdBu' difference maps with the reference's vmin/vmax (-200, 50)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    def gray(x):
+        return np.asarray(Image.fromarray(to_uint8(x)).convert("L"), np.float64)
+
+    a, rb, gb = gray(real_a), gray(real_b), gray(reg_b)
+    fig = plt.figure(figsize=(16, 6))
+    plt.subplots_adjust(wspace=0.0, hspace=0.0)
+    panels = [
+        (a, "Visible", dict(cmap="bone", vmax=255)),
+        (rb, "Before", dict(cmap="bone", vmax=255)),
+        (gb, "Registered", dict(cmap="bone", vmax=255)),
+        (a - rb, "Diff. Before", dict(cmap="RdBu", vmin=-200, vmax=50)),
+        (a - gb, "Diff. Registered", dict(cmap="RdBu", vmin=-200, vmax=50)),
+    ]
+    for i, (img, title, kw) in enumerate(panels):
+        ax = plt.subplot(1, 5, i + 1)
+        ax.imshow(img, **kw)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
