@@ -87,3 +87,13 @@ class TestRecipeGuards:
             **{**cfg.loss.__dict__, "use_mask": True}))
         with _pytest.raises(ValueError, match="mutually exclusive"):
             build_recipe(cfg)
+
+
+class TestMemorySummary:
+    def test_returns_dict_and_prints(self, capsys):
+        from tfcgan_tpu.train.profiling import device_memory_summary, print_memory_summary
+
+        s = device_memory_summary()
+        assert isinstance(s, dict)  # CPU backend: usually empty
+        print_memory_summary("x: ")
+        assert "x: " in capsys.readouterr().out

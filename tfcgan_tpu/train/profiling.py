@@ -64,3 +64,33 @@ def count_params(tree) -> int:
     import jax
 
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def device_memory_summary(device=None) -> dict:
+    """Accelerator memory counters (the reference's pynvml helpers,
+    ``TFC-Diff/prototype_tfcgan.py:36-45`` — ``print_gpu_utilization``), via
+    the backend's allocator stats. Returns {} when the platform doesn't
+    expose them (e.g. CPU)."""
+    import jax
+
+    d = device or jax.devices()[0]
+    stats = getattr(d, "memory_stats", lambda: None)() or {}
+    out = {}
+    for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+              "largest_alloc_size"):
+        if k in stats:
+            out[k] = int(stats[k])
+    return out
+
+
+def print_memory_summary(prefix: str = "") -> None:
+    s = device_memory_summary()
+    if not s:
+        print(f"{prefix}no device memory stats on this platform")
+        return
+    gb = lambda b: b / 1e9
+    print(
+        f"{prefix}device memory: {gb(s.get('bytes_in_use', 0)):.2f} GB in use"
+        + (f" / {gb(s['bytes_limit']):.2f} GB limit" if "bytes_limit" in s else "")
+        + (f" (peak {gb(s['peak_bytes_in_use']):.2f} GB)" if "peak_bytes_in_use" in s else "")
+    )
