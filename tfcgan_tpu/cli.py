@@ -218,8 +218,12 @@ def cmd_eval_reg(args):
     from tfcgan_tpu.evaluation.suite import _load_dir, registration_metrics
 
     files, a = _load_dir(args.real_a_dir)
-    _, b = _load_dir(args.real_b_dir)
-    _, rb = _load_dir(args.reg_b_dir)
+    fb, b = _load_dir(args.real_b_dir)
+    fr, rb = _load_dir(args.reg_b_dir)
+    assert len(files) == len(fb) == len(fr), (
+        f"directory size mismatch: real_A={len(files)} real_B={len(fb)} "
+        f"reg_B={len(fr)}"
+    )
     to = lambda x: jnp.asarray(x / 127.5 - 1.0)
     m = {k: np.asarray(v) for k, v in registration_metrics(to(a), to(b), to(rb)).items()}
     df = pd.DataFrame({"file": files, **m})

@@ -114,17 +114,18 @@ def difference_plot(
     (``TFC-STN/evaluation/evaluation.py:23-80``): Visible | Before |
     Registered | Diff-Before | Diff-Registered, grayscale 'bone' panels and
     'RdBu' difference maps with the reference's vmin/vmax (-200, 50)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    # Figure + Agg canvas directly — does not touch the process-global
+    # matplotlib backend (an interactive session's plt state stays intact)
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     def gray(x):
         return np.asarray(Image.fromarray(to_uint8(x)).convert("L"), np.float64)
 
     a, rb, gb = gray(real_a), gray(real_b), gray(reg_b)
-    fig = plt.figure(figsize=(16, 6))
-    plt.subplots_adjust(wspace=0.0, hspace=0.0)
+    fig = Figure(figsize=(16, 6))
+    FigureCanvasAgg(fig)
+    fig.subplots_adjust(wspace=0.0, hspace=0.0)
     panels = [
         (a, "Visible", dict(cmap="bone", vmax=255)),
         (rb, "Before", dict(cmap="bone", vmax=255)),
@@ -133,11 +134,10 @@ def difference_plot(
         (a - gb, "Diff. Registered", dict(cmap="RdBu", vmin=-200, vmax=50)),
     ]
     for i, (img, title, kw) in enumerate(panels):
-        ax = plt.subplot(1, 5, i + 1)
+        ax = fig.add_subplot(1, 5, i + 1)
         ax.imshow(img, **kw)
         ax.set_xticks([])
         ax.set_yticks([])
         ax.set_title(title)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, bbox_inches="tight")
-    plt.close(fig)

@@ -90,7 +90,8 @@ def print_memory_summary(prefix: str = "") -> None:
         return
     gb = lambda b: b / 1e9
     print(
-        f"{prefix}device memory: {gb(s.get('bytes_in_use', 0)):.2f} GB in use"
+        f"{prefix}device memory:"
+        + (f" {gb(s['bytes_in_use']):.2f} GB in use" if "bytes_in_use" in s else "")
         + (f" / {gb(s['bytes_limit']):.2f} GB limit" if "bytes_limit" in s else "")
         + (f" (peak {gb(s['peak_bytes_in_use']):.2f} GB)" if "peak_bytes_in_use" in s else "")
     )

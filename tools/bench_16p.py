@@ -1,4 +1,4 @@
-import sys; sys.path.insert(0, "/root/repo")
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, numpy as np
 from tfcgan_tpu.config import get_experiment
 from tfcgan_tpu.data.synth import synthetic_batch
