@@ -338,3 +338,77 @@ class TestTrainBatchNorm:
         assert "bn" in p["up1"]
         y = g.apply(v, x, t)
         assert y.shape == (2, 128, 128, 3)
+
+
+class TestConvertLPIPS:
+    def test_synthetic_state_dict_roundtrip_and_torch_parity(self):
+        """Converter key mapping: build a torchvision-layout VGG16 state dict
+        + an LPIPS lin checkpoint with random weights, convert, and check the
+        flax LPIPS output matches a torch recomputation of the published
+        formula with the same weights."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from convert_lpips import convert, VGG16_CONV_IDX
+
+        rng = np.random.RandomState(0)
+        plan = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+                (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+                (512, 512), (512, 512)]
+        vgg_state = {}
+        for li, (cin, cout) in zip(VGG16_CONV_IDX, plan):
+            vgg_state[f"features.{li}.weight"] = torch.from_numpy(
+                (rng.randn(cout, cin, 3, 3) * 0.05).astype(np.float32))
+            vgg_state[f"features.{li}.bias"] = torch.from_numpy(
+                (rng.randn(cout) * 0.05).astype(np.float32))
+        lins = [64, 128, 256, 512, 512]
+        lpips_state = {
+            f"lin{i}.model.1.weight": torch.from_numpy(
+                np.abs(rng.randn(1, c, 1, 1)).astype(np.float32))
+            for i, c in enumerate(lins)
+        }
+        variables = convert(vgg_state, lpips_state)
+
+        m = models.LPIPS()
+        x = np.tanh(rng.randn(1, 32, 32, 3)).astype(np.float32)
+        y = np.tanh(rng.randn(1, 32, 32, 3)).astype(np.float32)
+        # structure must match the module's own init exactly
+        ref = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+        ref_paths = jax.tree_util.tree_structure(ref)
+        got_paths = jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.asarray, variables))
+        assert ref_paths == got_paths
+        got = float(m.apply(variables, jnp.asarray(x), jnp.asarray(y))[0])
+
+        # independent torch computation of the LPIPS formula
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def vgg_feats(t):
+            feats, conv_i = [], 0
+            h = t
+            for item in [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                         512, 512, 512, "M", 512, 512, 512]:
+                if item == "M":
+                    h = F.max_pool2d(h, 2)
+                    continue
+                li = VGG16_CONV_IDX[conv_i]
+                h = F.conv2d(h, vgg_state[f"features.{li}.weight"],
+                             vgg_state[f"features.{li}.bias"], padding=1)
+                h = F.relu(h)
+                conv_i += 1
+                if conv_i in (2, 4, 7, 10, 13):
+                    feats.append(h)
+            return feats
+
+        def norm(f):
+            return f / (f.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+        tx = (torch.from_numpy(x).permute(0, 3, 1, 2) - shift) / scale
+        ty = (torch.from_numpy(y).permute(0, 3, 1, 2) - shift) / scale
+        want = 0.0
+        with torch.no_grad():
+            for i, (fa, fb) in enumerate(zip(vgg_feats(tx), vgg_feats(ty))):
+                d = (norm(fa) - norm(fb)).pow(2)
+                w = lpips_state[f"lin{i}.model.1.weight"].abs().view(1, -1, 1, 1)
+                want += (d * w).sum(1).mean().item()
+        assert got == pytest.approx(want, rel=2e-4), (got, want)
