@@ -97,3 +97,59 @@ class TestMemorySummary:
         assert isinstance(s, dict)  # CPU backend: usually empty
         print_memory_summary("x: ")
         assert "x: " in capsys.readouterr().out
+
+
+class TestDataPrep:
+    def _imgs(self, d, names, seed=0):
+        import numpy as np
+        from PIL import Image
+
+        d.mkdir(parents=True, exist_ok=True)
+        r = np.random.RandomState(seed)
+        for n in names:
+            Image.fromarray((r.rand(16, 16, 3) * 255).astype("uint8")).save(d / n)
+
+    def test_combine_a_and_b_pairs_matching_names(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+        from tfcgan_tpu.data.prep import combine_a_and_b
+
+        self._imgs(tmp_path / "A", ["1.png", "2.png", "only_a.png"], seed=1)
+        self._imgs(tmp_path / "B", ["1.png", "2.png", "only_b.png"], seed=2)
+        n = combine_a_and_b(str(tmp_path / "A"), str(tmp_path / "B"),
+                            str(tmp_path / "AB"), workers=1)
+        assert n == 2  # only the intersection is paired
+        ab = np.asarray(Image.open(tmp_path / "AB" / "1.png"))
+        assert ab.shape == (16, 32, 3)
+        a = np.asarray(Image.open(tmp_path / "A" / "1.png").convert("RGB"))
+        np.testing.assert_array_equal(ab[:, :16], a)  # left half is A
+
+    def test_crop_stacks_roundtrip(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+        from tfcgan_tpu.data.prep import crop_stacks
+
+        r = np.random.RandomState(3)
+        stack = (r.rand(48, 16, 3) * 255).astype("uint8")  # 3 x 16px roles
+        (tmp_path / "stacks").mkdir()
+        Image.fromarray(stack).save(tmp_path / "stacks" / "s.png")
+        n = crop_stacks(str(tmp_path / "stacks"), str(tmp_path / "out"),
+                        ["real_A", "fake_B", "real_B"])
+        assert n == 1
+        for i, role in enumerate(["real_A", "fake_B", "real_B"]):
+            got = np.asarray(Image.open(tmp_path / "out" / role / "s.png"))
+            np.testing.assert_array_equal(got, stack[i * 16:(i + 1) * 16])
+
+    def test_make_registered_dataset_with_fake_inferencer(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+        from tfcgan_tpu.data.prep import make_registered_dataset
+
+        r = np.random.RandomState(4)
+        batch = {"A": np.tanh(r.randn(2, 16, 16, 3)).astype(np.float32),
+                 "B": np.tanh(r.randn(2, 16, 16, 3)).astype(np.float32)}
+        fake_inf = lambda b: {"warped_B": b["B"][:, ::-1]}  # any warp
+        n = make_registered_dataset(fake_inf, [batch], str(tmp_path / "reg"))
+        assert n == 2
+        pair = np.asarray(Image.open(tmp_path / "reg" / "00000.png"))
+        assert pair.shape == (16, 32, 3)
