@@ -153,3 +153,32 @@ class TestDataPrep:
         assert n == 2
         pair = np.asarray(Image.open(tmp_path / "reg" / "00000.png"))
         assert pair.shape == (16, 32, 3)
+
+
+class TestInferencerOutputs:
+    def test_run_test_set_stacks_spectra_patches(self, tmp_path):
+        import numpy as np
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.data.synth import synthetic_batch
+        from tfcgan_tpu.infer import Inferencer
+        from tfcgan_tpu.recipes import build_recipe
+        import jax
+
+        cfg = get_experiment("fft_glo")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=2, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+        )
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=2, image_size=64)
+        g_vars = recipe.G.init(jax.random.PRNGKey(0), batch["A"])
+        inf = Inferencer(cfg, recipe, {"G": g_vars["params"]})
+        n = inf.run_test_set([batch], str(tmp_path), save_spectra=True,
+                             save_patches=2)
+        assert n == 2
+        import os
+        assert sorted(os.listdir(tmp_path / "spectra")) == ["00000_mag.png", "00001_mag.png"]
+        assert sorted(os.listdir(tmp_path / "patches")) == ["00000_p.png", "00001_p.png"]
+        from PIL import Image
+        stack = np.asarray(Image.open(tmp_path / "00000.png"))
+        assert stack.shape == (64 * 3, 64, 3)  # A | fake_B | real_B vertical
