@@ -258,9 +258,6 @@ class TestSpatialMesh:
     def test_dp_x_spatial_step(self):
         from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
 
-        # original_16p: full G/D step without the FFT loss — XLA's *CPU* fft
-        # thunk rejects the transposed layouts spatial sharding produces
-        # (TPU is unaffected)
         cfg = small_cfg("original_16p")
         cfg = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, spatial=2))
         recipe = build_recipe(cfg)
@@ -275,6 +272,30 @@ class TestSpatialMesh:
         state, metrics = step(state, sb)
         assert np.isfinite(float(metrics["loss_G"]))
         assert np.isfinite(float(metrics["loss_D"]))
+
+    def test_dp_x_spatial_fft_matches_dp(self):
+        """FFT loss under spatial sharding (round-1 workaround removed):
+        ops/fftloss gathers the spatial axis in-graph via gather_spatial,
+        which both satisfies XLA's layout-picky CPU fft thunk and keeps the
+        math identical to the pure-DP mesh."""
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        cfg = small_cfg("fft_glo")
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        results = {}
+        for spatial in (1, 2):
+            c = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, spatial=spatial))
+            trainer = Trainer(c, build_recipe(c), mesh=make_mesh(8, spatial=spatial))
+            state = trainer.init_state(jax.random.PRNGKey(0), batch)
+            state, metrics = trainer.compiled_step()(
+                state, shard_batch(batch, trainer.mesh)
+            )
+            results[spatial] = {k: float(v) for k, v in metrics.items()}
+        for k in ("loss_G", "loss_D", "g_fft"):
+            assert np.isfinite(results[2][k]), (k, results[2])
+            np.testing.assert_allclose(
+                results[1][k], results[2][k], rtol=2e-4, err_msg=k
+            )
 
 
 class TestTempModesAndDiffusionVariants:

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tfcgan_tpu.ops.quantize import rgb_to_luma_uint8
+from tfcgan_tpu.parallel.mesh import gather_spatial
 
 
 def fft_amp_phase(x: jax.Array, mode: str = "exact") -> tuple[jax.Array, jax.Array]:
@@ -30,6 +31,7 @@ def fft_amp_phase(x: jax.Array, mode: str = "exact") -> tuple[jax.Array, jax.Arr
     "smooth" (differentiable luma, no quantization).
     """
     gray = rgb_to_luma_uint8(x, mode=mode)  # (N, H, W) in [0, 255]
+    gray = gather_spatial(gray)  # full H per shard when a spatial axis exists
     f = jnp.fft.rfft2(gray.astype(jnp.float32))
     f = jnp.fft.fftshift(f, axes=(-2, -1))
     amp = jnp.abs(f)
@@ -39,7 +41,7 @@ def fft_amp_phase(x: jax.Array, mode: str = "exact") -> tuple[jax.Array, jax.Arr
 
 def fft_log_magnitude(x: jax.Array, mode: str = "exact") -> jax.Array:
     """``FFT_Components.make_spectra``: log|fftshift(fft2(gray))| (N, H, W)."""
-    gray = rgb_to_luma_uint8(x, mode=mode)
+    gray = gather_spatial(rgb_to_luma_uint8(x, mode=mode))
     f = jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.float32)), axes=(-2, -1))
     return jnp.log(jnp.abs(f))
 

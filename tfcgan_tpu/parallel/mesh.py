@@ -10,9 +10,48 @@ a model axis for spatial sharding) can be added without touching the trainer.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Mesh visible to ops while the train step is being traced (see loss_mesh).
+_ACTIVE_MESH: Mesh | None = None
+
+
+@contextlib.contextmanager
+def loss_mesh(mesh: Mesh | None):
+    """Make ``mesh`` visible to in-graph ops during tracing.
+
+    The trainer wraps each jitted-step *call* in this context; since jax
+    traces inside the call, ops like the FFT losses can look the mesh up and
+    emit sharding constraints without threading it through every recipe.
+    """
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def gather_spatial(x: jax.Array) -> jax.Array:
+    """Constrain ``x`` (N, ...) to batch-only sharding if a spatial mesh axis
+    is active — i.e. all-gather image rows before an op that needs full H.
+
+    Used by the FFT losses: XLA's CPU fft thunk RET_CHECKs on the transposed
+    layouts spatial sharding produces (fft_thunk.cc:167
+    ``IsMonotonicWithDim0Major``), and on TPU the gather makes the (cheap)
+    redundant-compute explicit rather than leaving GSPMD to resharde inside
+    the fft. No-op on 1-D data meshes.
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None or "spatial" not in mesh.axis_names:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def make_mesh(

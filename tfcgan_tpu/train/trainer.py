@@ -26,6 +26,7 @@ from tfcgan_tpu.config import ExperimentConfig
 from tfcgan_tpu.models.layers import spectral_power_iteration
 from tfcgan_tpu.parallel.mesh import (
     batch_sharding,
+    loss_mesh,
     make_mesh,
     replicate,
     replicated_sharding,
@@ -104,7 +105,17 @@ class Trainer:
             # shardings come from argument placement (state replicated via
             # init_state, batch via shard_batch — mixed ranks under a 2-D
             # data×spatial mesh make a single in_sharding spec impractical)
-            self._step_fn = jax.jit(step, donate_argnums=(0,))
+            jitted = jax.jit(step, donate_argnums=(0,))
+            mesh = self.mesh
+
+            # tracing happens inside the call: expose the mesh so in-graph
+            # ops (e.g. the FFT losses under spatial sharding) can emit
+            # sharding constraints without recipe plumbing
+            def step_fn(state, batch):
+                with loss_mesh(mesh):
+                    return jitted(state, batch)
+
+            self._step_fn = step_fn
         return self._step_fn
 
     def fit(
