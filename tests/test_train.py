@@ -100,19 +100,38 @@ class TestRecipeMatrix:
         state = trainer.fit(state, [batch])
         assert int(state.step) == 1
 
-    def test_debiased_conditional(self):
-        cfg = small_cfg("fft_patch_debiased")
+    @pytest.mark.parametrize(
+        "name", ["fft_patch_debiased_v1", "fft_patch_debiased_v2",
+                  "fft_patch_debiased_v3", "fft_patch_debiased_v4",
+                  "fft_patch_debiased_v5", "fft_patch_debiased_v6",
+                  "fft_patch_debiased"]
+    )
+    def test_debiased_conditional(self, name):
+        cfg = small_cfg(name)
         cfg = cfg.replace(data=cfg.data.__class__(batch_size=8, image_size=64))
         recipe = build_recipe(cfg)
         trainer = Trainer(cfg, recipe)
         batch = synthetic_batch(batch_size=8, image_size=64, with_labels=True)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        v = cfg.loss.debias_version
+        # frozen-CNN placement per variant (debias_axes): backbone always
+        # frozen; fc trains with G in V4-V6; everything frozen in V7
+        if v >= 4:
+            if v == 7:
+                assert "cnn_hair" in state.frozen and "cnn_hair" not in state.g_params
+            else:
+                assert "cnn_hair" in state.g_params  # fc only
+                assert "cnn_hair_bb" in state.frozen
+                assert set(state.g_params["cnn_hair"]) == {"fc"}
+        else:
+            assert not any("cnn" in k for k in state.frozen)
         step = trainer.compiled_step()
         from tfcgan_tpu.parallel.mesh import shard_batch
 
         state, metrics = step(state, shard_batch(batch, trainer.mesh))
         assert np.isfinite(float(metrics["g_ce"]))
         assert np.isfinite(float(metrics["d_ce"]))
+        assert np.isfinite(float(metrics["loss_G"]))
 
 
 class TestCheckpoint:

@@ -43,8 +43,15 @@ class LossConfig:
 
     adv_weight: float = 0.5
     label_smooth: float = 0.9
-    # perceptual
+    # perceptual: "lpips" uses the VGG16 LPIPS module (pretrained weights
+    # loaded from ``lpips_weights`` when set — tools/convert_lpips.py emits
+    # them; random-init otherwise), "msrecon" uses the fixed multi-scale
+    # L1+NCC pyramid (ops/perceptual.py), "auto" picks lpips when weights
+    # are available and msrecon when not (the STN family default: a
+    # random-weight LPIPS is measured to collapse registration).
     use_lpips: bool = True
+    perceptual: str = "lpips"
+    lpips_weights: str = ""
     lpips_weight: float = 0.5
     # patch triplet
     patch_grid: int = 2  # 2 -> 4 patches, 4 -> 16 patches, 0 -> off
@@ -71,11 +78,20 @@ class LossConfig:
     # input channel to G + L1 mask-consistency loss
     use_mask: bool = False
     mask_weight: float = 0.5
-    # debiased family
+    # debiased family (TFCGAN_multigpu_patchFFT_debiased[_V2.._V7].py).
+    # ``debias_version`` selects the variant-chain semantics bundle — heads,
+    # label sources, regional CNNs, FFT-loss form; see
+    # ``recipes/tfcgan.debias_axes`` for the derivation table.
     conditional: bool = False
-    num_classes: int = 4
+    debias_version: int = 7
+    num_classes: int = 4  # ethnicity classes (White/Asian/B/NW, V7:253)
+    num_gender: int = 2
+    num_age: int = 3
     ce_weight: float = 1.0
     d_loss_weight: float = 0.5
+    # converted torchvision resnet18 weights for the frozen regional CNNs
+    # (tools/convert_resnet.py); random-init backbone when empty
+    resnet_weights: str = ""
 
 
 @dataclass(frozen=True)
@@ -141,7 +157,36 @@ register(ExperimentConfig(name="fft_patch_16", loss=_loss(fft_mode="patch", fft_
 register(ExperimentConfig(name="original_16p", loss=_loss(fft_mode="off", patch_grid=4)))
 register(ExperimentConfig(name="fft_patch_region", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="l1")))
 register(ExperimentConfig(name="fft_patch_region_kl", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="kl")))
-register(ExperimentConfig(name="fft_patch_debiased", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, conditional=True)))
+# Debiased family V1–V7. Weight bundles follow each script's loss_G line:
+# V1 ``debiased.py:572``  G = adv + lpips + patch_trip + label + 0.10·temp + 0.001·FFT
+# V2 ``_V2.py:582``       G = adv + label + lpips + 0.10·temp + 0.001·FFT
+# V3 ``_V3.py:583``       = V2 with 10× ethnicity CE inside the label loss
+# V4 ``_V4.py:691``       = V2 + regional CNNs (tot_ethn) + triplet-FFT form
+# V5 ``_V5.py:670``       = V4 + pixel patch triplet
+# V6 ``_V6.py:671``       G = ½·(adv + tot_ethn + 0.001·FFT + patch + temp + lpips)
+# V7 ``_V7.py:672``       = V6 with the CNN heads chained to D's optimizer —
+#                          which (zero grads at D-step) leaves them frozen.
+_DB = dict(fft_mode="patch", fft_grid=2, conditional=True,
+           adv_weight=1.0, lpips_weight=1.0, ce_weight=1.0,
+           temp_weight=0.10, fft_weight=0.001)
+register(ExperimentConfig(name="fft_patch_debiased_v1",
+    loss=_loss(patch_grid=2, triplet_weight=1.0, debias_version=1, **_DB)))
+register(ExperimentConfig(name="fft_patch_debiased_v2",
+    loss=_loss(patch_grid=0, debias_version=2, **_DB)))
+register(ExperimentConfig(name="fft_patch_debiased_v3",
+    loss=_loss(patch_grid=0, debias_version=3, **_DB)))
+register(ExperimentConfig(name="fft_patch_debiased_v4",
+    loss=_loss(patch_grid=0, debias_version=4, **_DB)))
+register(ExperimentConfig(name="fft_patch_debiased_v5",
+    loss=_loss(patch_grid=2, triplet_weight=1.0, debias_version=5, **_DB)))
+_DB_HALF = dict(fft_mode="patch", fft_grid=2, conditional=True,
+                adv_weight=0.5, lpips_weight=0.5, ce_weight=0.5,
+                temp_weight=0.5, fft_weight=0.0005,
+                patch_grid=2, triplet_weight=0.5)
+register(ExperimentConfig(name="fft_patch_debiased_v6",
+    loss=_loss(debias_version=6, **_DB_HALF)))
+register(ExperimentConfig(name="fft_patch_debiased",
+    loss=_loss(debias_version=7, **_DB_HALF)))
 # Gaussian-mask experiment (TFCGAN_multigpu_patchFFT_experiment.py): saliency
 # mask as a 4th G input channel + L1 mask loss; G loss = 0.5·adv + 0.5·lpips
 # + 0.5·triplet + 0.5·temp + 0.001·FFT + 0.5·mask (``:587``)
@@ -193,18 +238,23 @@ register(ExperimentConfig(
 register(ExperimentConfig(name="ablation_nopatch", loss=_loss(fft_mode="off", patch_grid=0)))
 register(ExperimentConfig(name="ablation_noperc", loss=_loss(fft_mode="off", patch_grid=4, use_lpips=False)))
 register(ExperimentConfig(name="ablation_notemp", loss=_loss(fft_mode="off", patch_grid=4, use_temp=False)))
-# STN family (TFC-STN/)
+# STN family (TFC-STN/). perceptual="auto": LPIPS when converted weights are
+# supplied, the fixed msrecon anchor otherwise (random-weight LPIPS is noise
+# that collapses registration — BASELINE.md round-1 measurement).
 register(ExperimentConfig(
     name="stn_newmodel3", recipe="stn",
     optim=OptimConfig(lr=1e-4),
+    loss=_loss(perceptual="auto"),
     train=TrainConfig(n_epochs=100, sample_interval=50, checkpoint_interval=50),
 ))
 register(ExperimentConfig(
     name="stn_dark_visible", recipe="stn", optim=OptimConfig(lr=1e-4),
+    loss=_loss(perceptual="auto"),
     extra={"variant": "dark_visible"},
 ))
 register(ExperimentConfig(
     name="stn_b2a", recipe="stn", optim=OptimConfig(lr=1e-4),
+    loss=_loss(perceptual="auto"),
     extra={"variant": "b2a", "use_morph": False},
 ))
 # Baselines

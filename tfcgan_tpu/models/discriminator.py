@@ -51,25 +51,38 @@ class PatchDiscriminator(nn.Module):
 
 
 class AuxClassifierDiscriminator(nn.Module):
-    """PatchDiscriminator + softmax label head over the flattened input."""
+    """PatchDiscriminator + softmax label head(s) over the flattened input.
+
+    V6/V7 (``_V7.py:206-250``) carry an ethnicity head only; V1–V5
+    (``debiased.py:218-233``) add gender (2-way) and age (3-way) heads —
+    enabled via ``num_gender``/``num_age`` > 0, returning the probs as a
+    (gender, ethnicity, age) tuple in the reference's head order.
+    """
 
     num_classes: int = 4
+    num_gender: int = 0
+    num_age: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, img_a: jax.Array, img_b: jax.Array, update_stats: bool = False
-    ) -> tuple[jax.Array, jax.Array]:
+    ) -> tuple[jax.Array, jax.Array | tuple[jax.Array, jax.Array, jax.Array]]:
         logits = PatchDiscriminator(dtype=self.dtype, name="patch")(
             img_a, img_b, update_stats
         )
         flat = jnp.concatenate([img_a, img_b], axis=-1).reshape(img_a.shape[0], -1)
-        probs = nn.softmax(
-            nn.Dense(self.num_classes, name="aux_ethn", dtype=self.dtype)(
-                flat.astype(self.dtype)
-            )
-        )
-        return logits, probs
+        flat = flat.astype(self.dtype)
+
+        def head(k: int, name: str) -> jax.Array:
+            return nn.softmax(nn.Dense(k, name=name, dtype=self.dtype)(flat))
+
+        probs_e = head(self.num_classes, "aux_ethn")
+        if self.num_gender > 0:
+            probs_g = head(self.num_gender, "aux_gender")
+            probs_a = head(self.num_age, "aux_age")
+            return logits, (probs_g, probs_e, probs_a)
+        return logits, probs_e
 
 
 class NLayerDiscriminator(nn.Module):

@@ -33,8 +33,10 @@ from tfcgan_tpu.models import (
     LPIPS,
     PatchDiscriminator,
 )
+from tfcgan_tpu.models.lpips import load_lpips_params, resolve_perceptual
 from tfcgan_tpu.models.resnet import ResNet18
 from tfcgan_tpu.ops.fftloss import fft_amp_phase
+from tfcgan_tpu.ops.perceptual import multiscale_recon
 
 
 def _dtype(cfg: ExperimentConfig):
@@ -147,6 +149,63 @@ def regional_fft_loss(fake, real, cfg) -> jax.Array:
     return 0.5 * (amp + pha)
 
 
+def debias_axes(lc) -> dict:
+    """Variant semantics of the debiased chain, derived from
+    ``LossConfig.debias_version`` (the per-script facts):
+
+    =====  ========  =========  ======  ========  ========  =========
+    ver    heads     G labels   ethn×   regional  CNN opt   FFT form
+    =====  ========  =========  ======  ========  ========  =========
+    1      g/e/a     random     1       —         —         patch L1
+    2      g/e/a     real       1       —         —         patch L1
+    3      g/e/a     real       10      —         —         patch L1
+    4      g/e/a     real       —       yes       G (fc)    triplet
+    5      g/e/a     real       —       yes       G (fc)    triplet
+    6      ethn      real       —       yes       G (fc)    patch L1
+    7      ethn      real       —       yes       frozen    patch L1
+    =====  ========  =========  ======  ========  ========  =========
+
+    V1 additionally feeds D's fake-label CE the *same* random labels G was
+    conditioned on (``debiased.py:508-606``); V2+ draw fresh ones at the D
+    step. V1 sums the three D label CEs; V2+ average by 1/3
+    (``_V2.py:611-617``). The V4+ regional ResNet18s keep a frozen backbone
+    (``_V4.py:254``, ``requires_grad=False``); V7 chains their heads into D's
+    optimizer where they receive zero gradients (loss_D never touches them,
+    ``_V7.py:560-564,684-708``) — i.e. they are effectively fully frozen,
+    which is how we implement them.
+    """
+    v = lc.debias_version
+    if not 1 <= v <= 7:
+        raise ValueError(f"debias_version must be 1..7, got {v}")
+    return {
+        "multi_head": v <= 5,
+        "g_labels_random": v == 1,
+        "ethn_scale": 10.0 if v == 3 else 1.0,
+        "regional": v >= 4,
+        "cnn_train_g": 4 <= v <= 6,
+        "fft_triplet": v in (4, 5),
+        "d_label_avg": 1.0 if v == 1 else 1.0 / 3.0,
+    }
+
+
+def fft_triplet_loss(fake, real, key, cfg) -> jax.Array:
+    """V4/V5 FFT form (``_V4.py:387-432``): per-patch amplitude and phase
+    triplets with one random whole real patch as the shared negative of a
+    patch's amp and phase terms; ¼-averaged; returns ½(amp + pha)."""
+    g = cfg.fft_grid
+    p = g * g
+    fp, rp = ops.patchify(fake, g), ops.patchify(real, g)
+    neg = rp[jax.random.randint(key, (p,), 0, p)]
+    merge = lambda x: x.reshape(-1, *x.shape[2:])
+    af, pf = fft_amp_phase(merge(fp), mode=cfg.fft_quantize)
+    ar, pr = fft_amp_phase(merge(rp), mode=cfg.fft_quantize)
+    an, pn = fft_amp_phase(merge(neg), mode=cfg.fft_quantize)
+    # merged (P·N) mean == reference's ¼·Σ of per-patch means (equal sizes)
+    amp = ops.triplet_margin_loss(af, ar, an, axis=-1)
+    pha = ops.triplet_margin_loss(pf, pr, pn, axis=-1)
+    return 0.5 * (amp + pha)
+
+
 def cross_entropy(logits_or_probs: jax.Array, labels: jax.Array, from_probs: bool) -> jax.Array:
     """torch CrossEntropyLoss with integer labels. The aux-D head outputs
     softmax probs which the reference feeds to CrossEntropyLoss anyway (a
@@ -169,14 +228,30 @@ class TFCGANRecipe:
             # path carries no mask channel — reject rather than half-apply
             raise ValueError("conditional and use_mask are mutually exclusive")
         if lc.conditional:
+            self.axes = debias_axes(lc)
+            mh = self.axes["multi_head"]
             self.G = ConditionalGeneratorUNet(out_channels=cfg.data.channels, dtype=dt)
-            self.D = AuxClassifierDiscriminator(num_classes=lc.num_classes, dtype=dt)
-            self.cnn_hair = ResNet18(num_classes=lc.num_classes, dtype=dt)
-            self.cnn_eyes = ResNet18(num_classes=lc.num_classes, dtype=dt)
+            self.D = AuxClassifierDiscriminator(
+                num_classes=lc.num_classes,
+                num_gender=lc.num_gender if mh else 0,
+                num_age=lc.num_age if mh else 0,
+                dtype=dt,
+            )
+            if self.axes["regional"]:
+                # with converted torchvision weights the backbone runs in
+                # BN-folded form (see models/resnet.py); GroupNorm otherwise
+                nrm = "folded" if lc.resnet_weights else "gn"
+                self.cnn_hair = ResNet18(num_classes=lc.num_classes, dtype=dt, norm=nrm)
+                self.cnn_eyes = ResNet18(num_classes=lc.num_classes, dtype=dt, norm=nrm)
+            else:
+                self.cnn_hair = self.cnn_eyes = None
         else:
             self.G = GeneratorUNet(out_channels=cfg.data.channels, dtype=dt)
             self.D = PatchDiscriminator(dtype=dt)
-        self.lpips = LPIPS(dtype=dt) if lc.use_lpips else None
+        # perceptual backend: LPIPS (pretrained via lc.lpips_weights when
+        # supplied) or the fixed msrecon pyramid (ops/perceptual.py)
+        self.perceptual = resolve_perceptual(lc) if lc.use_lpips else "off"
+        self.lpips = LPIPS(dtype=dt) if self.perceptual == "lpips" else None
 
     # ------------------------------------------------------------------ init
     def init(self, key, batch):
@@ -184,27 +259,44 @@ class TFCGANRecipe:
         a, b = batch["A"], batch["B"]
         lc = self.cfg.loss
         if lc.conditional:
-            lab = jax.nn.one_hot(batch["LAB"], lc.num_classes)
-            g_vars = self.G.init(kg, a, lab)
+            # G is conditioned on the raw (gender, ethn, age) float triple
+            # (``_V7.py:166,643``: fc(labels: (N,3)) -> one input plane)
+            g_vars = self.G.init(kg, a, batch["LAB3"].astype(jnp.float32))
             d_vars = self.D.init(kd, a, b)
         else:
             g_vars = self.G.init(kg, self._g_input(batch))
             d_vars = self.D.init(kd, a, b)
         frozen = {}
         if self.lpips is not None:
-            frozen["lpips"] = self.lpips.init(kl, a, b)
+            if lc.lpips_weights:
+                frozen["lpips"] = load_lpips_params(lc.lpips_weights)
+            else:
+                frozen["lpips"] = self.lpips.init(kl, a, b)
         g_params = {"G": g_vars["params"]}
-        if lc.conditional:
-            # V7 trains the regional CNN heads jointly with D (``:558-564``);
-            # we keep them in d_params.
+        d_params = {"D": d_vars["params"]}
+        if lc.conditional and self.axes["regional"]:
+            # V4+ regional CNNs: frozen ResNet18 backbone (``_V4.py:254``),
+            # trainable fc head — with G's optimizer in V4–V6, fully frozen in
+            # V7 (see debias_axes). ``resnet_weights`` injects converted
+            # torchvision weights into the backbone when provided.
             hair = a[:, 0 : round(100 * a.shape[1] / 256), :, :]
-            d_params = {
-                "D": d_vars["params"],
-                "cnn_hair": self.cnn_hair.init(kh, hair)["params"],
-                "cnn_eyes": self.cnn_eyes.init(ke, hair)["params"],
-            }
-        else:
-            d_params = {"D": d_vars["params"]}
+            full_h = dict(self.cnn_hair.init(kh, hair)["params"])
+            full_e = dict(self.cnn_eyes.init(ke, hair)["params"])
+            if lc.resnet_weights:
+                from tfcgan_tpu.models.resnet import load_resnet18_backbone
+
+                bb = load_resnet18_backbone(lc.resnet_weights)
+                full_h = {**full_h, **bb}
+                full_e = {**full_e, **dict(bb)}
+            fc_h, fc_e = full_h.pop("fc"), full_e.pop("fc")
+            if self.axes["cnn_train_g"]:
+                g_params["cnn_hair"] = {"fc": fc_h}
+                g_params["cnn_eyes"] = {"fc": fc_e}
+                frozen["cnn_hair_bb"] = full_h
+                frozen["cnn_eyes_bb"] = full_e
+            else:
+                frozen["cnn_hair"] = {**full_h, "fc": fc_h}
+                frozen["cnn_eyes"] = {**full_e, "fc": fc_e}
         return {
             "g_params": g_params,
             "d_params": d_params,
@@ -221,17 +313,24 @@ class TFCGANRecipe:
             return jnp.concatenate([a, ops.saliency_mask(a).astype(a.dtype)], -1)
         return a
 
-    def _gen(self, g_params, batch, rng, deterministic=False):
+    def _gen(self, g_params, batch, rng, deterministic=False, labels=None):
         if self.cfg.loss.conditional:
-            lab = jax.nn.one_hot(batch["LAB"], self.cfg.loss.num_classes)
+            lab = batch["LAB3"] if labels is None else labels
             return self.G.apply(
-                {"params": g_params["G"]}, batch["A"], lab,
+                {"params": g_params["G"]}, batch["A"], lab.astype(jnp.float32),
                 deterministic=deterministic, rngs={"dropout": rng},
             )
         return self.G.apply(
             {"params": g_params["G"]}, self._g_input(batch),
             deterministic=deterministic, rngs={"dropout": rng},
         )
+
+    def _cnn_params(self, which: str, g_params, frozen):
+        """Regional-CNN param tree: frozen backbone ∪ the fc head's home
+        (g_params for V4–V6, frozen for V7 — see debias_axes)."""
+        if self.axes["cnn_train_g"]:
+            return {**frozen[f"{which}_bb"], **g_params[which]}
+        return frozen[which]
 
     def _disc(self, d_params, spectral, img, cond):
         out = self.D.apply(
@@ -242,15 +341,39 @@ class TFCGANRecipe:
     # --------------------------------------------------------------- losses
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
         cfg = self.cfg.loss
-        k_drop, k_patch, k_temp = jax.random.split(rng, 3)
+        k_drop, k_patch, k_temp, k_lab, k_fft = jax.random.split(rng, 5)
         a, b = batch["A"], batch["B"]
-        fake_b = self._gen(g_params, batch, k_drop)
 
         metrics = {}
+        aux_extra = {}
         if cfg.conditional:
-            pred_fake, eth_f = self._disc(d_params, spectral, fake_b, a)
+            ax = self.axes
+            lab3 = batch["LAB3"]
+            if ax["g_labels_random"]:
+                # V1 conditions G on freshly drawn labels and scores its label
+                # CE against them (``debiased.py:500-522``)
+                kg_, ke_, ka_ = jax.random.split(k_lab, 3)
+                n = lab3.shape[0]
+                g3 = jnp.stack(
+                    [
+                        jax.random.randint(kg_, (n,), 0, cfg.num_gender),
+                        jax.random.randint(ke_, (n,), 0, cfg.num_classes),
+                        jax.random.randint(ka_, (n,), 0, cfg.num_age),
+                    ],
+                    axis=1,
+                )
+                aux_extra["gen_lab3"] = g3
+            else:
+                g3 = lab3
+            fake_b = self._gen(g_params, batch, k_drop, labels=g3)
+            pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
             pred_real, _ = self._disc(d_params, spectral, b, a)
         else:
+            # extra["deterministic_g"] disables G dropout inside the train
+            # step — used by the torch lockstep trajectory-parity test, where
+            # cross-framework dropout masks cannot be aligned
+            det = bool(self.cfg.extra.get("deterministic_g", False))
+            fake_b = self._gen(g_params, batch, k_drop, deterministic=det)
             pred_fake = self._disc(d_params, spectral, fake_b, a)
             pred_real = self._disc(d_params, spectral, b, a)
         adv = ops.relativistic_g_loss(pred_fake, pred_real, cfg.label_smooth)
@@ -278,8 +401,15 @@ class TFCGANRecipe:
             perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_b, b))
             total += cfg.lpips_weight * perc
             metrics["g_lpips"] = perc
+        elif self.perceptual == "msrecon":
+            perc = multiscale_recon(fake_b, b)
+            total += cfg.lpips_weight * perc
+            metrics["g_lpips"] = perc
         if cfg.fft_mode != "off":
-            fft = fft_loss(fake_b, b, cfg)
+            if cfg.conditional and self.axes["fft_triplet"]:
+                fft = fft_triplet_loss(fake_b, b, k_fft, cfg)
+            else:
+                fft = fft_loss(fake_b, b, cfg)
             total += cfg.fft_weight * fft
             metrics["g_fft"] = fft
         if cfg.region_fft != "off":
@@ -293,19 +423,40 @@ class TFCGANRecipe:
             total += cfg.mask_weight * mask
             metrics["g_mask"] = mask
         if cfg.conditional:
-            lab = batch["LAB"]
-            r1 = round(100 * fake_b.shape[1] / 256)
-            hair = fake_b[:, 0:r1, :, :]
-            eyes = fake_b[:, r1 : 2 * r1, :, :]
-            hp = self.cnn_hair.apply({"params": d_params["cnn_hair"]}, hair)
-            ep = self.cnn_eyes.apply({"params": d_params["cnn_eyes"]}, eyes)
-            reg_ce = cross_entropy(hp, lab, False) + cross_entropy(ep, lab, False)
-            ce = 0.5 * (reg_ce + cross_entropy(eth_f, lab, True))
+            # G's label loss; targets are the labels G was conditioned on
+            # (real for V2+, the random draw for V1)
+            gender, ethn, age = g3[:, 0], g3[:, 1], g3[:, 2]
+            if ax["multi_head"]:
+                pg_f, pe_f, pa_f = probs_f
+            else:
+                pe_f = probs_f
+            if ax["regional"]:
+                r1 = round(100 * fake_b.shape[1] / 256)
+                hair = fake_b[:, 0:r1, :, :]
+                eyes = fake_b[:, r1 : 2 * r1, :, :]
+                hp = self.cnn_hair.apply(
+                    {"params": self._cnn_params("cnn_hair", g_params, frozen)}, hair
+                )
+                ep = self.cnn_eyes.apply(
+                    {"params": self._cnn_params("cnn_eyes", g_params, frozen)}, eyes
+                )
+                reg_ce = cross_entropy(hp, ethn, False) + cross_entropy(ep, ethn, False)
+                tot_ethn = 0.5 * (reg_ce + cross_entropy(pe_f, ethn, True))
+                if ax["multi_head"]:  # V4/V5 (``_V4.py:627-629``)
+                    ce = tot_ethn + cross_entropy(pg_f, gender, True) + cross_entropy(pa_f, age, True)
+                else:  # V6/V7 (``_V7.py:655-656``)
+                    ce = tot_ethn
+            else:  # V1–V3 (``_V3.py:531``: 10× on the ethnicity term)
+                ce = (
+                    cross_entropy(pg_f, gender, True)
+                    + ax["ethn_scale"] * cross_entropy(pe_f, ethn, True)
+                    + cross_entropy(pa_f, age, True)
+                )
             total += cfg.ce_weight * ce
             metrics["g_ce"] = ce
 
         metrics["loss_G"] = total
-        aux = {"fake_b": jax.lax.stop_gradient(fake_b)}
+        aux = {"fake_b": jax.lax.stop_gradient(fake_b), **aux_extra}
         return total, (aux, metrics)
 
     def d_loss(self, d_params, spectral, aux, batch, rng):
@@ -313,8 +464,8 @@ class TFCGANRecipe:
         a, b = batch["A"], batch["B"]
         fake_b = aux["fake_b"]
         if cfg.conditional:
-            pred_real, eth_r = self._disc(d_params, spectral, b, a)
-            pred_fake, eth_f = self._disc(d_params, spectral, fake_b, a)
+            pred_real, probs_r = self._disc(d_params, spectral, b, a)
+            pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
         else:
             pred_real = self._disc(d_params, spectral, b, a)
             pred_fake = self._disc(d_params, spectral, fake_b, a)
@@ -323,11 +474,36 @@ class TFCGANRecipe:
         )
         metrics = {"loss_D": loss}
         if cfg.conditional:
-            lab = batch["LAB"]
-            gen_lab = jax.random.randint(rng, lab.shape, 0, cfg.num_classes)
-            ce = 0.5 * (
-                cross_entropy(eth_r, lab, True) + cross_entropy(eth_f, gen_lab, True)
-            )
+            # loss_D = ½((adv_real + real_label) + (adv_fake + fake_label)):
+            # real targets are the annotations; fake targets are random draws
+            # (V1 reuses the draw G conditioned on, ``debiased.py:606``)
+            ax = self.axes
+            lab3 = batch["LAB3"]
+            if ax["g_labels_random"]:
+                gen3 = aux["gen_lab3"]
+            else:
+                kg_, ke_, ka_ = jax.random.split(rng, 3)
+                n = lab3.shape[0]
+                gen3 = jnp.stack(
+                    [
+                        jax.random.randint(kg_, (n,), 0, cfg.num_gender),
+                        jax.random.randint(ke_, (n,), 0, cfg.num_classes),
+                        jax.random.randint(ka_, (n,), 0, cfg.num_age),
+                    ],
+                    axis=1,
+                )
+
+            def label_ce(probs, tgt3):
+                if ax["multi_head"]:
+                    pg, pe, pa = probs
+                    return ax["d_label_avg"] * (
+                        cross_entropy(pg, tgt3[:, 0], True)
+                        + cross_entropy(pe, tgt3[:, 1], True)
+                        + cross_entropy(pa, tgt3[:, 2], True)
+                    )
+                return cross_entropy(probs, tgt3[:, 1], True)
+
+            ce = 0.5 * (label_ce(probs_r, lab3) + label_ce(probs_f, gen3))
             loss = loss + ce
             metrics["d_ce"] = ce
             metrics["loss_D"] = loss
