@@ -97,3 +97,27 @@ class LPIPS(nn.Module):
 def lpips_loss(module: LPIPS, params, x: jax.Array, y: jax.Array) -> jax.Array:
     """Mean LPIPS over the batch — the form used inside the G loss."""
     return jnp.mean(module.apply(params, x, y))
+
+
+def load_lpips_params(path: str):
+    """Load params converted by ``tools/convert_lpips.py`` (flax-serialized),
+    validated against the LPIPS module structure."""
+    from flax import serialization
+
+    template = LPIPS().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+    )
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def resolve_perceptual(loss_cfg) -> str:
+    """Resolve LossConfig.perceptual: 'auto' -> 'lpips' iff converted weights
+    exist at ``loss_cfg.lpips_weights``, else the fixed 'msrecon' anchor."""
+    import os
+
+    mode = getattr(loss_cfg, "perceptual", "lpips")
+    if mode != "auto":
+        return mode
+    path = getattr(loss_cfg, "lpips_weights", "")
+    return "lpips" if (path and os.path.exists(path)) else "msrecon"

@@ -29,8 +29,10 @@ import jax.numpy as jnp
 from tfcgan_tpu import ops
 from tfcgan_tpu.config import ExperimentConfig
 from tfcgan_tpu.models import AffineSTN, GeneratorUNet, LPIPS, PatchDiscriminator
+from tfcgan_tpu.models.lpips import load_lpips_params, resolve_perceptual
 from tfcgan_tpu.models.stn import LocalizerViT
 from tfcgan_tpu.models.vit import ViT
+from tfcgan_tpu.ops.perceptual import multiscale_recon
 import flax.linen as nn
 
 
@@ -84,7 +86,12 @@ class STNRecipe:
         self.D1 = PatchDiscriminator(dtype=dt)
         self.D2 = PatchDiscriminator(dtype=dt)
         self.STN = _STNNet(dtype=dt, patch=patch)
-        self.lpips = LPIPS(dtype=dt)
+        # "lpips" (pretrained weights via cfg.loss.lpips_weights, random init
+        # otherwise) or the fixed "msrecon" anchor — random-weight LPIPS is
+        # measured to collapse registration (BASELINE.md round 1), so the STN
+        # configs resolve "auto" to msrecon when no weights are supplied.
+        self.perceptual = resolve_perceptual(cfg.loss)
+        self.lpips = LPIPS(dtype=dt) if self.perceptual == "lpips" else None
 
     def init(self, key, batch):
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
@@ -94,12 +101,17 @@ class STNRecipe:
         d1 = self.D1.init(k3, a, b)
         d2 = self.D2.init(k4, a, b)
         stn = self.STN.init(k5, a, a, b)
-        lp = self.lpips.init(k6, a, b)
+        frozen = {}
+        if self.lpips is not None:
+            if self.cfg.loss.lpips_weights:
+                frozen["lpips"] = load_lpips_params(self.cfg.loss.lpips_weights)
+            else:
+                frozen["lpips"] = self.lpips.init(k6, a, b)
         return {
             "g_params": {"G1": g1["params"], "G2": g2["params"], "STN": stn["params"]},
             "d_params": {"D1": d1["params"], "D2": d2["params"]},
             "spectral": {"D1": d1["spectral"], "D2": d2["spectral"]},
-            "frozen": {"lpips": lp},
+            "frozen": frozen,
         }
 
     def _forward(self, g_params, batch, rng):
@@ -134,9 +146,12 @@ class STNRecipe:
         )
         adv = adv1 + adv2
         recon = jnp.mean(jnp.abs(fake_a2.astype(jnp.float32) - a))
-        perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_a2, a)) + jnp.mean(
-            self.lpips.apply(frozen["lpips"], fake_b, b)
-        )
+        if self.lpips is not None:
+            perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_a2, a)) + jnp.mean(
+                self.lpips.apply(frozen["lpips"], fake_b, b)
+            )
+        else:  # fixed multi-scale anchor (same two image pairs as :637-639)
+            perc = multiscale_recon(fake_a2, a) + multiscale_recon(fake_b, b)
         total = adv + 0.01 * recon + perc
         metrics = {"g_adv": adv, "g_recon": recon, "g_lpips": perc}
         if self.use_morph:

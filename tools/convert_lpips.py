@@ -72,18 +72,10 @@ def main():
 
 
 def load_lpips_params(path: str):
-    """Load converted params; validates against the LPIPS module structure."""
-    import jax.numpy as jnp
-    from flax import serialization
+    """Back-compat alias; the loader lives in the library now."""
+    from tfcgan_tpu.models.lpips import load_lpips_params as _load
 
-    from tfcgan_tpu.models import LPIPS
-
-    template = LPIPS().init(
-        __import__("jax").random.PRNGKey(0),
-        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
-    )
-    with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+    return _load(path)
 
 
 if __name__ == "__main__":
