@@ -77,7 +77,13 @@ class PairedImageDataset:
             )
             item = {"A": _normalize(a_u8), "B": _normalize(b_u8), "T_B": t_b}
         if self.labels is not None:
-            item["LAB"] = np.int32(self.labels.get(os.path.basename(path), 0))
+            lab = self.labels.get(os.path.basename(path), 0)
+            if isinstance(lab, (tuple, list, np.ndarray)):
+                # (gender, ethnicity, age) triple — debiased family
+                item["LAB3"] = np.asarray(lab, np.int32)
+                item["LAB"] = np.int32(item["LAB3"][1])
+            else:
+                item["LAB"] = np.int32(lab)
         return item
 
 
@@ -146,14 +152,26 @@ class UnpairedImageDataset:
         return {"A": a, "B": b, "T_B": t_b.astype(np.float32)}
 
 
-def load_annotations_csv(path: str, file_col: int = 0, label_col: int = 2) -> dict[str, int]:
+def load_annotations_csv(
+    path: str,
+    file_col: int = 0,
+    label_col: int = 2,
+    label_cols: tuple[int, int, int] | None = None,
+) -> dict[str, int] | dict[str, tuple[int, int, int]]:
     """annots_csv labels for the debiased family
     (``datasets_temp_Debias.py:46-73``: gender/ethnicity/age columns; the V7
-    trainer uses the ethnicity column). Returns {basename: int label} for
-    ``PairedImageDataset(labels=...)``."""
+    trainer uses the ethnicity column). Returns {basename: int label}, or
+    {basename: (gender, ethn, age)} when ``label_cols`` is given (the V1–V5
+    multi-head trainers), for ``PairedImageDataset(labels=...)``."""
     import pandas as pd
 
     df = pd.read_csv(path)
     files = df.iloc[:, file_col].astype(str)
+    if label_cols is not None:
+        trip = [df.iloc[:, c].astype(int) for c in label_cols]
+        return {
+            os.path.basename(f): (int(g), int(e), int(a))
+            for f, g, e, a in zip(files, *trip)
+        }
     labels = df.iloc[:, label_col].astype(int)
     return {os.path.basename(f): int(l) for f, l in zip(files, labels)}

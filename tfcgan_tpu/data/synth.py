@@ -30,10 +30,116 @@ def synthetic_batch(
     t_b = (TEMP_MIN_C + red_u8 * (TEMP_MAX_C - TEMP_MIN_C) / 255.0).astype(np.float32)
     batch = {"A": a, "B": b, "T_B": t_b}
     if with_labels:
-        batch["LAB"] = rng.randint(0, num_classes, (batch_size,)).astype(np.int32)
+        # LAB3 = (gender, ethnicity, age) raw ints like annots_csv rows
+        # (datasets_temp_Debias.py); LAB keeps the ethnicity column for the
+        # single-head consumers (diffusion label variant, cli).
+        lab3 = np.stack(
+            [
+                rng.randint(0, 2, batch_size),
+                rng.randint(0, num_classes, batch_size),
+                rng.randint(0, 3, batch_size),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        batch["LAB3"] = lab3
+        batch["LAB"] = lab3[:, 1].copy()
     return batch
 
 
 def synthetic_iterator(num_batches: int, **kw):
     for i in range(num_batches):
         yield synthetic_batch(seed=i, **kw)
+
+
+def _face_scene(rng: np.random.RandomState, n: int, size: int) -> np.ndarray:
+    """Procedural face-like grayscale scenes in [0, 1], (N, H, W).
+
+    Soft-edged head ellipse + eyes + mouth on a gradient background — enough
+    structure for registration metrics (SSIM/NCC/MI) and morphological
+    gradients to carry signal, with smooth falloffs so warps stay
+    differentiable-looking at any resolution.
+    """
+    lin = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    yy, xx = np.meshgrid(lin, lin, indexing="ij")
+
+    def blob(cx, cy, rx, ry, sharp):
+        # (N,1,1) params against (H,W) grids -> (N,H,W) soft masks
+        d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
+        return 1.0 / (1.0 + np.exp(np.clip((d - 1.0) * sharp, -50.0, 50.0)))
+
+    col = lambda lo, hi: rng.uniform(lo, hi, (n, 1, 1)).astype(np.float32)
+    head = blob(col(-0.08, 0.08), col(-0.08, 0.08), col(0.45, 0.6), col(0.6, 0.75), 8.0)
+    eye_y = col(-0.3, -0.18)
+    eye_dx = col(0.18, 0.28)
+    eyes = blob(-eye_dx, eye_y, col(0.06, 0.1), col(0.04, 0.07), 14.0) + blob(
+        eye_dx, eye_y, col(0.06, 0.1), col(0.04, 0.07), 14.0
+    )
+    mouth = blob(col(-0.05, 0.05), col(0.3, 0.45), col(0.15, 0.25), col(0.05, 0.09), 12.0)
+    bg = 0.15 + 0.1 * (yy[None] * col(-1, 1) + xx[None] * col(-1, 1))
+    scene = bg * (1 - head) + head * (0.65 + 0.1 * col(-1, 1)) - 0.35 * eyes - 0.25 * mouth
+    return np.clip(scene, 0.0, 1.0)
+
+
+def synthetic_registration_batch(
+    batch_size: int = 8,
+    image_size: int = 64,
+    seed: int = 0,
+    max_translate: float = 0.12,
+    max_rotate: float = 0.08,
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Misaligned visible/thermal pairs with per-sample affine ground truth.
+
+    A = "visible" rendering of a face-like scene; B_aligned = "thermal"
+    rendering of the SAME geometry (different tone mapping, like the
+    cross-modal pairs of ``TFC-STN/datasets_stn.py``); B = B_aligned warped by
+    a random affine theta (rotation ±max_rotate rad, translation
+    ±max_translate in [-1,1] grid units) — the unaligned-pairs setting the
+    VTF-STN flagship trains on. Returns (batch, truth) where truth carries
+    ``B_aligned`` and the 2x3 ``theta`` that produced the misalignment.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(seed)
+    gray = _face_scene(rng, batch_size, image_size)  # (N,H,W) in [0,1]
+
+    # visible: warm skin tones; thermal: inverted intensity, red-heavy
+    a = np.stack(
+        [gray * 1.0, gray * 0.82, gray * 0.70], axis=-1
+    ).astype(np.float32) * 2.0 - 1.0
+    hot = 1.0 - gray
+    b_aligned = np.stack(
+        [hot * 1.0, hot * 0.55, hot * 0.35], axis=-1
+    ).astype(np.float32) * 2.0 - 1.0
+
+    ang = rng.uniform(-max_rotate, max_rotate, batch_size).astype(np.float32)
+    tx = rng.uniform(-max_translate, max_translate, batch_size).astype(np.float32)
+    ty = rng.uniform(-max_translate, max_translate, batch_size).astype(np.float32)
+    theta = np.zeros((batch_size, 2, 3), np.float32)
+    theta[:, 0, 0] = np.cos(ang)
+    theta[:, 0, 1] = -np.sin(ang)
+    theta[:, 1, 0] = np.sin(ang)
+    theta[:, 1, 1] = np.cos(ang)
+    theta[:, 0, 2] = tx
+    theta[:, 1, 2] = ty
+
+    src = torch.from_numpy(b_aligned).permute(0, 3, 1, 2)
+    grid = F.affine_grid(torch.from_numpy(theta), src.shape, align_corners=False)
+    b = (
+        F.grid_sample(src, grid, mode="bilinear", padding_mode="border",
+                      align_corners=False)
+        .permute(0, 2, 3, 1)
+        .numpy()
+        .astype(np.float32)
+    )
+
+    red_u8 = np.round((b[..., 0] * 0.5 + 0.5) * 255.0)
+    t_b = (TEMP_MIN_C + red_u8 * (TEMP_MAX_C - TEMP_MIN_C) / 255.0).astype(np.float32)
+    batch = {"A": a, "B": b, "T_B": t_b}
+    truth = {"B_aligned": b_aligned, "theta": theta}
+    return batch, truth
+
+
+def synthetic_registration_iterator(num_batches: int, **kw):
+    for i in range(num_batches):
+        yield synthetic_registration_batch(seed=i + 1, **kw)[0]

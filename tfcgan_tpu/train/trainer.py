@@ -131,6 +131,7 @@ class Trainer:
         """Run steps. ``sample_hook(state, step)`` mirrors the reference's
         ``sample_images`` visual smoke test (``TFCGAN_multigpu_globalFFT.py:
         584-585``); ``check_finite`` raises on NaN/Inf losses."""
+        from tfcgan_tpu.data.prefetch import is_device_batch
         from tfcgan_tpu.train.profiling import assert_finite
 
         step_fn = self.compiled_step()
@@ -141,7 +142,8 @@ class Trainer:
         for i, batch in enumerate(batches):
             if num_steps is not None and i >= num_steps:
                 break
-            batch = shard_batch(batch, self.mesh)
+            if not is_device_batch(batch):  # device_prefetch already placed it
+                batch = shard_batch(batch, self.mesh)
             state, metrics = step_fn(state, batch)
             self.last_metrics = metrics  # device arrays; sync only on read
             if check_finite:
