@@ -117,3 +117,93 @@ class TestBlurPoolPallas:
         got = np.asarray(blur_pool_pallas(x, stride=2, interpret=True).astype(jnp.float32))
         want = np.asarray(ops.blur_pool(x, stride=2).astype(jnp.float32))
         np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+class TestBorderAdjointExact:
+    """VERDICT round-2 #7: the border-clamped adjoint must match autodiff of
+    a clamped-forward reference exactly, including warps pushing content far
+    off-edge (the previously-approximate `if border:` branch)."""
+
+    def _reference_resample(self, x, p, q, w_out, mode):
+        # differentiable jnp reference with the forward's exact clip semantics;
+        # jax.grad of this IS the true adjoint
+        from tfcgan_tpu.ops.pallas_kernels.resample import _kernel_fns
+
+        kfn, _, hs = _kernel_fns(mode)
+        cols = jnp.arange(w_out, dtype=jnp.float32)[None, :]
+        pos = p[:, None] * cols + q[:, None]
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        t = pos - jnp.floor(pos)
+        acc = jnp.zeros((x.shape[0], w_out), jnp.float32)
+        for k in range(-hs + 1, hs + 1):
+            ic = jnp.clip(i0 + k, 0, x.shape[1] - 1)
+            acc = acc + jnp.take_along_axis(x, ic, axis=1) * kfn(t - k)
+        return acc
+
+    @pytest.mark.parametrize("mode", ["linear", "cubic"])
+    @pytest.mark.parametrize("shift", [0.0, 3.7, 25.0, -25.0, 200.0])
+    def test_adjoint_matches_autodiff_reference(self, mode, shift):
+        from tfcgan_tpu.ops.pallas_kernels.resample import resample_affine_lanes
+
+        rng = np.random.RandomState(0)
+        rows, w = 8, 128
+        x = jnp.asarray(rng.randn(rows, w).astype(np.float32))
+        p = jnp.asarray(rng.uniform(0.6, 1.7, rows).astype(np.float32))
+        q = jnp.asarray((rng.uniform(-2, 2, rows) + shift).astype(np.float32))
+        g = jnp.asarray(rng.randn(rows, w).astype(np.float32))
+
+        def loss_pallas(x, p, q):
+            return jnp.vdot(resample_affine_lanes(x, p, q, w, mode, True), g)
+
+        def loss_ref(x, p, q):
+            return jnp.vdot(self._reference_resample(x, p, q, w, mode), g)
+
+        fwd_p = resample_affine_lanes(x, p, q, w, mode, True)
+        fwd_r = self._reference_resample(x, p, q, w, mode)
+        np.testing.assert_allclose(np.asarray(fwd_p), np.asarray(fwd_r),
+                                   atol=1e-4, rtol=1e-4)
+        gx_p, gp_p, gq_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, p, q)
+        gx_r, gp_r, gq_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, p, q)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_r),
+                                   atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_r),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_warp_edge_grads_match_torch_exact_path(self):
+        """Border-heavy pure translation: separable-warp gradients vs the
+        torch-exact ops.warp.grid_sample VJP (translation is the case where
+        the two formulations agree exactly, isolating border handling)."""
+        from tfcgan_tpu.ops.warp import affine_grid, grid_sample
+
+        rng = np.random.RandomState(1)
+        src = jnp.asarray(rng.randn(2, 32, 128, 3).astype(np.float32))
+        # 0.5 in normalized coords pushes a quarter of the image off-edge
+        theta = jnp.asarray(
+            np.stack([np.array([[1, 0, 0.5], [0, 1, -0.4]], np.float32),
+                      np.array([[1, 0, -0.6], [0, 1, 0.3]], np.float32)])
+        )
+        g = jnp.asarray(rng.randn(2, 32, 128, 3).astype(np.float32))
+
+        def loss_sep(src, th):
+            return jnp.vdot(warp_affine_separable(src, th, mode="bilinear"), g)
+
+        def loss_exact(src, th):
+            grid = affine_grid(th, (2, 32, 128), align_corners=True)
+            return jnp.vdot(
+                grid_sample(src, grid, mode="bilinear", padding_mode="border",
+                            align_corners=True), g
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(loss_sep(src, theta)), np.asarray(loss_exact(src, theta)),
+            rtol=1e-4,
+        )
+        gs_s, gt_s = jax.grad(loss_sep, argnums=(0, 1))(src, theta)
+        gs_e, gt_e = jax.grad(loss_exact, argnums=(0, 1))(src, theta)
+        np.testing.assert_allclose(np.asarray(gs_s), np.asarray(gs_e),
+                                   atol=5e-4, rtol=5e-4)
+        # translation grads (last column); rotation entries differ by design
+        np.testing.assert_allclose(np.asarray(gt_s[:, :, 2]),
+                                   np.asarray(gt_e[:, :, 2]), rtol=5e-3)

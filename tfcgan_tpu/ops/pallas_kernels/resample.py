@@ -137,21 +137,28 @@ def _grad_pos_kernel(x_ref, p_ref, q_ref, g_ref, out_ref, *, mode, width, border
     out_ref[:] = (acc * g_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _adjoint_kernel(g_ref, p_ref, q_ref, out_ref, *, mode, w_out, border):
-    """Exact transpose: out[r, v] = Σ_x K(p·x + q − v)·g[r, x].
+def _adjoint_kernel(g_ref, p_ref, q_ref, out_ref, *, mode, w_out, w_in, border):
+    """Exact transpose: out[r, v] = Σ_x A[x, v]·g[r, x] where A is the
+    forward's sampling matrix.
 
-    Nonzero terms satisfy |p·x + q − v| < hs, i.e. x within hs/|p| of
-    x* = (v − q)/p. Taps cover |p| >= 0.5 (≤ 2·hs/0.5 + 2 offsets).
+    Interior v: A[x, v] = K(p·x + q − v), nonzero within hs of
+    x* = (v − q)/p — the windowed tap loop (covers |p| >= 0.5, ≤ 2·hs/0.5 + 2
+    offsets). Edge v ∈ {0, w_in−1} under border clamping additionally absorb
+    every out-of-range tap: A[x, 0] += Σ_{j<0} K(pos−j), which telescopes to
+    the closed-form kernel tail M_neg(pos) = Σ_{m=1}^{2hs−1} K(pos+m),
+    saturating to 1 (partition of unity) for pos ≤ −hs — a full-row reduction
+    folded into the two edge columns. This makes the border adjoint EXACT for
+    arbitrarily far off-edge positions.
     """
-    g = g_ref[:]  # (Tr, W_out) cotangent
-    tr, w_in = out_ref.shape
+    g = g_ref[:]  # (Tr, W_out-padded) cotangent, zero beyond w_out
+    tr, w_pad = out_ref.shape
     kfn, _, hs = _kernel_fns(mode)
     p = p_ref[:].astype(jnp.float32)
     q = q_ref[:].astype(jnp.float32)
-    cols_v = jax.lax.broadcasted_iota(jnp.int32, (tr, w_in), 1).astype(jnp.float32)
+    cols_v = jax.lax.broadcasted_iota(jnp.int32, (tr, w_pad), 1).astype(jnp.float32)
     x_star = (cols_v - q) / p
     x0 = jnp.floor(x_star).astype(jnp.int32)
-    acc = jnp.zeros((tr, w_in), jnp.float32)
+    acc = jnp.zeros((tr, w_pad), jnp.float32)
     n_taps = 2 * hs * 2 + 2  # supports |p| >= 0.5
     for k in range(-n_taps // 2, n_taps // 2 + 1):
         xk = x0 + k
@@ -161,11 +168,21 @@ def _adjoint_kernel(g_ref, p_ref, q_ref, out_ref, *, mode, w_out, border):
         w = kfn(p * xk.astype(jnp.float32) + q - cols_v)
         acc = acc + jnp.where(valid, gk * w, 0.0)
     if border:
-        # forward clamped OOB taps to the edge columns: fold the clamped
-        # kernel mass back. For near-identity warps the effect is confined to
-        # the two edge columns; approximate by clamping x* (matches the
-        # forward's edge replication to first order).
-        pass
+        # clamped-tap mass -> edge columns (see docstring)
+        cols_x = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1).astype(jnp.float32)
+        pos = p * cols_x + q
+        gx = jnp.where(cols_x < w_out, g.astype(jnp.float32), 0.0)
+        m_neg = jnp.zeros_like(pos)
+        m_pos = jnp.zeros_like(pos)
+        for m in range(1, 2 * hs):
+            m_neg = m_neg + kfn(pos + m)
+            m_pos = m_pos + kfn(pos - float(w_in - 1) - m)
+        m_neg = jnp.where(pos <= -hs, 1.0, m_neg)
+        m_pos = jnp.where(pos >= float(w_in - 1) + hs, 1.0, m_pos)
+        e0 = jnp.sum(gx * m_neg, axis=1, keepdims=True)
+        e1 = jnp.sum(gx * m_pos, axis=1, keepdims=True)
+        vi = jax.lax.broadcasted_iota(jnp.int32, (tr, w_pad), 1)
+        acc = acc + jnp.where(vi == 0, e0, 0.0) + jnp.where(vi == w_in - 1, e1, 0.0)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -229,7 +246,8 @@ def _res_bwd(w_out, mode, border, res, g):
     w_in = x.shape[1]
     # dL/dx: exact transpose via scale-adjusted kernel resample of g
     gx = _call_rowwise(
-        functools.partial(_adjoint_kernel, mode=mode, w_out=w_out, border=border),
+        functools.partial(_adjoint_kernel, mode=mode, w_out=w_out, w_in=w_in,
+                          border=border),
         (x.shape[0], w_in), g.astype(jnp.float32), p, q,
     ).astype(x.dtype)
     # dL/dpos -> (p, q)
