@@ -182,3 +182,27 @@ class TestInferencerOutputs:
         from PIL import Image
         stack = np.asarray(Image.open(tmp_path / "00000.png"))
         assert stack.shape == (64 * 3, 64, 3)  # A | fake_B | real_B vertical
+
+
+class TestGallery:
+    def test_write_gallery(self, tmp_path):
+        from PIL import Image
+        import numpy as np
+        from tfcgan_tpu.evaluation.gallery import write_gallery
+
+        for i in range(3):
+            Image.fromarray(
+                np.zeros((8, 8, 3), np.uint8) + i * 40
+            ).save(tmp_path / f"{i:07d}.png")
+        out = write_gallery(str(tmp_path), title="run-x")
+        txt = open(out).read()
+        assert "run-x" in txt
+        assert txt.count("<img") == 3
+        # newest first
+        assert txt.index("0000002.png") < txt.index("0000000.png")
+
+    def test_empty_dir(self, tmp_path):
+        from tfcgan_tpu.evaluation.gallery import write_gallery
+
+        out = write_gallery(str(tmp_path))
+        assert "no images yet" in open(out).read()

@@ -55,8 +55,14 @@ def cmd_train(args):
     recipe = build_recipe(cfg)
     roots = [cfg.data.root, *(args.extra_root or cfg.data.extra_roots or [])]
     roots = [r for r in roots if r and not r.startswith("<")]
+    labels = None
+    if cfg.loss.conditional and getattr(args, "annots", None):
+        from tfcgan_tpu.data.pairs import load_annotations_csv
+
+        labels = load_annotations_csv(args.annots, label_cols=(1, 2, 3))
     datasets = [
-        PairedImageDataset(r, "train", cfg.data.image_size, cfg.data.direction)
+        PairedImageDataset(r, "train", cfg.data.image_size, cfg.data.direction,
+                           labels=labels)
         for r in roots
     ]
     steps_per_epoch = min(len(d) for d in datasets) // cfg.data.batch_size
@@ -70,6 +76,13 @@ def cmd_train(args):
             ],
             cfg.data.batch_size, seed=cfg.train.seed,
         )
+    elif cfg.data.num_workers > 0:
+        # threaded batcher (reference DataLoader(num_workers=...) analogue)
+        from tfcgan_tpu.data.prefetch import PrefetchLoader
+
+        it = iter(PrefetchLoader(datasets[0], cfg.data.batch_size,
+                                 num_workers=cfg.data.num_workers,
+                                 seed=cfg.train.seed))
     else:
         it = batch_iterator(datasets[0], cfg.data.batch_size, seed=cfg.train.seed)
     logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
@@ -113,6 +126,9 @@ def cmd_train(args):
                 for i in range(sample_batch["A"].shape[0])
             ]
             save_image_grid(stack, os.path.join(sample_dir, f"{step:07d}.png"), axis=1)
+            from tfcgan_tpu.evaluation.gallery import write_gallery
+
+            write_gallery(sample_dir, title=cfg.name)
     except FileNotFoundError:
         pass  # no test split — skip sampling
 
@@ -123,6 +139,10 @@ def cmd_train(args):
 
         plateau = ReduceLROnPlateau(cfg.optim.lr)
 
+    # overlap host->device transfer with the running step (double buffer)
+    from tfcgan_tpu.data.prefetch import device_prefetch
+
+    it = device_prefetch(it, trainer.mesh)
     for epoch in range(cfg.train.n_epochs):
         state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
                             sample_hook=sample_hook)
@@ -254,6 +274,13 @@ def cmd_prep_crop(args):
     print(f"cropped {n} stacks -> {args.out_root}")
 
 
+def cmd_gallery(args):
+    from tfcgan_tpu.evaluation.gallery import write_gallery
+
+    path = write_gallery(args.dir, title=args.title)
+    print(f"gallery -> {path}")
+
+
 def cmd_mesh(args):
     from tfcgan_tpu.evaluation.face_mesh import overlay_directory
 
@@ -276,6 +303,9 @@ def main(argv=None):
     common.add_argument("--direction", default=None, choices=[None, "AtoB", "BtoA"])
     common.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
     common.add_argument("--out-dir", default="runs")
+    common.add_argument("--annots", default=None,
+                        help="annotations CSV for the debiased family "
+                             "(file,gender,ethn,age columns — datasets_temp_Debias.py)")
 
     sp = sub.add_parser("train", parents=[common])
     sp.add_argument("--resume", default=None, help="checkpoint path to resume from")
@@ -324,6 +354,12 @@ def main(argv=None):
     sp.add_argument("--src-dir", required=True)
     sp.add_argument("--out-dir", required=True)
     sp.set_defaults(fn=cmd_mesh)
+
+    sp = sub.add_parser("gallery", help="index.html over a sample/eval dir "
+                                        "(nemar/util/visualizer.py analogue)")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--title", default=None)
+    sp.set_defaults(fn=cmd_gallery)
 
     args = p.parse_args(argv)
     args.fn(args)

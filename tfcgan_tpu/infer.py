@@ -36,7 +36,7 @@ class Inferencer:
                 if not cfg.loss.conditional
                 else recipe.G.apply(
                     {"params": p["G"]}, batch["A"],
-                    jax.nn.one_hot(batch["LAB"], cfg.loss.num_classes),
+                    batch["LAB3"].astype(jnp.float32),
                     deterministic=True,
                 )
             )
@@ -66,6 +66,9 @@ class Inferencer:
             raise ValueError(f"no inference path for recipe {name!r}")
 
     def __call__(self, batch):
+        if self.cfg.recipe == "tfcgan" and self.cfg.loss.conditional and "LAB3" not in batch:
+            # unlabeled test dirs: all-zero (gender, ethn, age) condition
+            batch = {**batch, "LAB3": np.zeros((batch["A"].shape[0], 3), np.int32)}
         return self._fn(self.g_params, {k: jnp.asarray(v) for k, v in batch.items()})
 
     def run_test_set(
