@@ -7,7 +7,7 @@ from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
 from tfcgan_tpu.recipes import build_recipe
 from tfcgan_tpu.train.trainer import Trainer
 
-B, SIZE = 96, 256
+B, SIZE = int(__import__("os").environ.get("B", "96")), 256
 
 def run(tag, **loss_kw):
     cfg = get_experiment("fft_glo")
