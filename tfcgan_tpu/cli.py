@@ -21,16 +21,25 @@ import numpy as np
 
 
 def _cfg_from_args(args):
+    import dataclasses
+
     from tfcgan_tpu.config import get_experiment
 
     cfg = get_experiment(args.experiment)
-    data = cfg.data.__class__(
+    # replace() so registry-set fields the CLI doesn't override (extra_roots,
+    # channels, steps_per_epoch, ...) survive
+    data = dataclasses.replace(
+        cfg.data,
         root=args.data_root or cfg.data.root,
         batch_size=args.batch_size or cfg.data.batch_size,
         image_size=args.image_size or cfg.data.image_size,
         direction=args.direction or cfg.data.direction,
+        num_workers=(cfg.data.num_workers if args.num_workers is None
+                     else args.num_workers),
+        staging=args.staging or cfg.data.staging,
     )
-    train = cfg.train.__class__(
+    train = dataclasses.replace(
+        cfg.train,
         n_epochs=args.n_epochs or cfg.train.n_epochs,
         sample_interval=args.sample_interval or cfg.train.sample_interval,
         checkpoint_interval=args.checkpoint_interval or cfg.train.checkpoint_interval,
@@ -66,6 +75,9 @@ def cmd_train(args):
         for r in roots
     ]
     steps_per_epoch = min(len(d) for d in datasets) // cfg.data.batch_size
+    logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
+    trainer = Trainer(cfg, recipe, logger=logger)
+    staged = False  # True when `it` already yields device-placed batches
     if len(datasets) > 1:
         # balanced multi-dataset training (favtgan ED/EA, SURVEY §2.8)
         it = BalancedMixture(
@@ -76,17 +88,33 @@ def cmd_train(args):
             ],
             cfg.data.batch_size, seed=cfg.train.seed,
         )
-    elif cfg.data.num_workers > 0:
-        # threaded batcher (reference DataLoader(num_workers=...) analogue)
-        from tfcgan_tpu.data.prefetch import PrefetchLoader
-
-        it = iter(PrefetchLoader(datasets[0], cfg.data.batch_size,
-                                 num_workers=cfg.data.num_workers,
-                                 seed=cfg.train.seed))
     else:
-        it = batch_iterator(datasets[0], cfg.data.batch_size, seed=cfg.train.seed)
-    logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
-    trainer = Trainer(cfg, recipe, logger=logger)
+        staging = cfg.data.staging
+        est = len(datasets[0]) * cfg.data.image_size ** 2 * 6  # A+B uint8 bytes
+        if staging == "auto":
+            staging = "pool" if est < (2 << 30) else "stream"
+        if staging == "pool":
+            # HBM-staged uint8 pool, batches assembled on device (data/pool)
+            from tfcgan_tpu.data.pool import DevicePool
+
+            pool = DevicePool(datasets[0], trainer.mesh, log_every=500)
+            it = pool.batches(cfg.data.batch_size, seed=cfg.train.seed)
+            staged = True
+        elif cfg.data.num_workers > 0:
+            # threaded uint8 streaming (reference DataLoader analogue), with
+            # device-side normalize and double-buffered placement
+            from tfcgan_tpu.data.prefetch import PrefetchLoader, device_prefetch
+
+            if est < (2 << 30):  # decode once, serve epochs >= 2 from RAM
+                datasets[0].enable_cache()
+            loader = PrefetchLoader(datasets[0], cfg.data.batch_size,
+                                    num_workers=cfg.data.num_workers,
+                                    seed=cfg.train.seed, raw=True)
+            it = device_prefetch(iter(loader), trainer.mesh, via_uint8=True)
+            staged = True
+        else:
+            it = batch_iterator(datasets[0], cfg.data.batch_size,
+                                seed=cfg.train.seed)
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
     from tfcgan_tpu.train.profiling import count_params
@@ -139,10 +167,11 @@ def cmd_train(args):
 
         plateau = ReduceLROnPlateau(cfg.optim.lr)
 
-    # overlap host->device transfer with the running step (double buffer)
-    from tfcgan_tpu.data.prefetch import device_prefetch
+    if not staged:
+        # overlap host->device transfer with the running step (double buffer)
+        from tfcgan_tpu.data.prefetch import device_prefetch
 
-    it = device_prefetch(it, trainer.mesh)
+        it = device_prefetch(it, trainer.mesh)
     for epoch in range(cfg.train.n_epochs):
         state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
                             sample_hook=sample_hook)
@@ -301,6 +330,12 @@ def main(argv=None):
     common.add_argument("--checkpoint-interval", type=int, default=None)
     common.add_argument("--sample-interval", type=int, default=None)
     common.add_argument("--direction", default=None, choices=[None, "AtoB", "BtoA"])
+    common.add_argument("--num-workers", type=int, default=None,
+                        help="decode threads for the streaming input path")
+    common.add_argument("--staging", default=None,
+                        choices=[None, "auto", "pool", "stream"],
+                        help="input staging: HBM-resident uint8 pool vs "
+                             "threaded uint8 streaming (data/pool.py)")
     common.add_argument("--dtype", default=None, choices=[None, "bfloat16", "float32"])
     common.add_argument("--out-dir", default="runs")
     common.add_argument("--annots", default=None,

@@ -35,6 +35,12 @@ class DataConfig:
     extra_roots: tuple[str, ...] = ()
     direction: str = "AtoB"  # or "BtoA"
     num_workers: int = 8
+    # input staging: "pool" stages the whole decoded dataset in HBM as uint8
+    # and assembles batches on device (data/pool.DevicePool — zero per-step
+    # host work; the TPU-native path for fits-in-HBM sets), "stream" ships
+    # uint8 batches via the threaded prefetcher, "auto" picks pool when the
+    # staged set is under ~2 GB
+    staging: str = "auto"
 
 
 @dataclass(frozen=True)

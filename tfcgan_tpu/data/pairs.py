@@ -35,7 +35,14 @@ def _normalize(u8: np.ndarray) -> np.ndarray:
 
 
 class PairedImageDataset:
-    """File-list dataset over a ``root/mode`` directory of A|B pair images."""
+    """File-list dataset over a ``root/mode`` directory of A|B pair images.
+
+    ``cache=True`` keeps the decoded uint8 pairs in RAM (a 256² pair is
+    384 KB — ~400 MB for a 1k-pair set), so epochs ≥ 2 skip the PNG decode
+    entirely (~20 img/s on a 1-core host, the streaming-path bottleneck).
+    ``raw_item`` exposes the uint8 pair pre-normalization — the input to the
+    device-side staging paths (``data/pool.DevicePool``, uint8 streaming).
+    """
 
     def __init__(
         self,
@@ -45,6 +52,7 @@ class PairedImageDataset:
         direction: str = "AtoB",
         labels: dict[str, int] | None = None,
         use_native: bool = True,
+        cache: bool = False,
     ):
         self.files = sorted(glob.glob(os.path.join(root, mode, "*.*")))
         if not self.files:
@@ -52,6 +60,9 @@ class PairedImageDataset:
         self.image_size = image_size
         self.direction = direction
         self.labels = labels
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = (
+            {} if cache else None
+        )
         if use_native:
             from tfcgan_tpu.data import native
 
@@ -62,28 +73,62 @@ class PairedImageDataset:
     def __len__(self) -> int:
         return len(self.files)
 
+    def enable_cache(self) -> None:
+        """Turn on the decoded-uint8 RAM cache after construction (used by
+        the CLI once it has sized the dataset)."""
+        if self._cache is None:
+            self._cache = {}
+
+    def _raw_pair(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded (A_u8, B_u8) after the direction swap; RAM-cached."""
+        idx = idx % len(self.files)
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        if self._native is not None:
+            # the native loader emits normalized floats (PIL-bit-exact from
+            # uint8) — invert the lossless (u8/255 - .5)/.5 map to recover u8
+            img = np.asarray(Image.open(self.files[idx]).convert("RGB"), np.uint8)
+            a, b, _ = self._native.process_pair(img, self.image_size)
+            to_u8 = lambda x: np.rint((x * 0.5 + 0.5) * 255.0).astype(np.uint8)
+            a_u8, b_u8 = to_u8(a), to_u8(b)
+        else:
+            a_u8, b_u8 = load_pair(self.files[idx], self.image_size)
+        if self.direction == "BtoA":
+            a_u8, b_u8 = b_u8, a_u8
+        if self._cache is not None:
+            self._cache[idx] = (a_u8, b_u8)
+        return a_u8, b_u8
+
+    def _label_fields(self, idx: int) -> dict[str, np.ndarray]:
+        if self.labels is None:
+            return {}
+        lab = self.labels.get(os.path.basename(self.files[idx % len(self.files)]), 0)
+        if isinstance(lab, (tuple, list, np.ndarray)):
+            # (gender, ethnicity, age) triple — debiased family
+            lab3 = np.asarray(lab, np.int32)
+            return {"LAB3": lab3, "LAB": np.int32(lab3[1])}
+        return {"LAB": np.int32(lab)}
+
+    def raw_item(self, idx: int) -> dict[str, np.ndarray]:
+        """uint8 item {"A_u8", "B_u8", labels...} for device-side staging
+        (normalization + temperature LUT happen on device — see data/pool)."""
+        a_u8, b_u8 = self._raw_pair(idx)
+        return {"A_u8": a_u8, "B_u8": b_u8, **self._label_fields(idx)}
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
-        path = self.files[idx % len(self.files)]
-        if self._native is not None and self.direction == "AtoB":
-            img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        if self._native is not None and self.direction == "AtoB" and self._cache is None:
+            img = np.asarray(
+                Image.open(self.files[idx % len(self.files)]).convert("RGB"), np.uint8
+            )
             a, b, t_b = self._native.process_pair(img, self.image_size)
             item = {"A": a, "B": b, "T_B": t_b}
         else:
-            a_u8, b_u8 = load_pair(path, self.image_size)
-            if self.direction == "BtoA":
-                a_u8, b_u8 = b_u8, a_u8
+            a_u8, b_u8 = self._raw_pair(idx)
             t_b = TEMP_MIN_C + b_u8[..., 0].astype(np.float32) * (
                 (TEMP_MAX_C - TEMP_MIN_C) / 255.0
             )
             item = {"A": _normalize(a_u8), "B": _normalize(b_u8), "T_B": t_b}
-        if self.labels is not None:
-            lab = self.labels.get(os.path.basename(path), 0)
-            if isinstance(lab, (tuple, list, np.ndarray)):
-                # (gender, ethnicity, age) triple — debiased family
-                item["LAB3"] = np.asarray(lab, np.int32)
-                item["LAB"] = np.int32(item["LAB3"][1])
-            else:
-                item["LAB"] = np.int32(lab)
+        item.update(self._label_fields(idx))
         return item
 
 

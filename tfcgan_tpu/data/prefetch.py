@@ -45,6 +45,7 @@ class PrefetchLoader:
         seed: int = 42,
         drop_last: bool = True,
         epochs: int | None = None,
+        raw: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,13 +54,17 @@ class PrefetchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epochs = epochs
+        # raw=True assembles uint8 batches (dataset.raw_item) for the 4×-
+        # cheaper uint8 device transfer — pair with device_prefetch(via_uint8)
+        self.raw = raw
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_batch(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
-        items = [self.dataset[int(j)] for j in idxs]
+        get = self.dataset.raw_item if self.raw else self.dataset.__getitem__
+        items = [get(int(j)) for j in idxs]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
@@ -95,20 +100,66 @@ class PrefetchLoader:
                 epoch += 1
 
 
-def device_prefetch(batches: Iterable[dict], mesh, depth: int = 2) -> Iterator:
+def _uint8_stager(mesh):
+    """jitted on-device finisher for raw uint8 batches: normalize + LUT,
+    matching the host float path (``pairs._normalize``) to 1 ulp."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfcgan_tpu.ops.temperature import TEMP_MAX_C, TEMP_MIN_C
+    from tfcgan_tpu.parallel.mesh import image_sharding
+
+    def finish(a_u8, b_u8):
+        norm = lambda u: (u.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        t_b = TEMP_MIN_C + b_u8[..., 0].astype(jnp.float32) * (
+            (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+        )
+        return norm(a_u8), norm(b_u8), t_b
+
+    return jax.jit(
+        finish,
+        out_shardings=(
+            image_sharding(mesh, 4),
+            image_sharding(mesh, 4),
+            image_sharding(mesh, 3),
+        ),
+    )
+
+
+def device_prefetch(
+    batches: Iterable[dict], mesh, depth: int = 2, via_uint8: bool = False
+) -> Iterator:
     """Wrap a host-batch iterator: a lookahead thread ``shard_batch``-places
     up to ``depth`` batches onto ``mesh`` ahead of the consumer, overlapping
-    host->device transfer with the running step."""
-    from tfcgan_tpu.parallel.mesh import shard_batch
+    host->device transfer with the running step.
+
+    ``via_uint8=True`` consumes *raw* batches ({"A_u8", "B_u8", labels...} —
+    ``PrefetchLoader(raw=True)``), ships the 4×-smaller uint8 tensors, and
+    normalizes + derives T_B on device. Emitted batches match the float path
+    to 1 fp32 ulp (XLA reassociates the affine normalize)."""
+    import jax
+
+    from tfcgan_tpu.parallel.mesh import image_sharding, shard_batch
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
     err: list[BaseException] = []
+    stager = _uint8_stager(mesh) if via_uint8 else None
+
+    def place(b: dict):
+        if not via_uint8:
+            return shard_batch(b, mesh)
+        a_u8 = jax.device_put(b["A_u8"], image_sharding(mesh, 4))
+        b_u8 = jax.device_put(b["B_u8"], image_sharding(mesh, 4))
+        a, bb, t_b = stager(a_u8, b_u8)
+        out = {"A": a, "B": bb, "T_B": t_b}
+        rest = {k: v for k, v in b.items() if k not in ("A_u8", "B_u8")}
+        return {**out, **shard_batch(rest, mesh)} if rest else out
 
     def feeder():
         try:
             for b in batches:
-                q.put(shard_batch(b, mesh))
+                q.put(place(b))
         except BaseException as e:  # surface loader errors to the consumer
             err.append(e)
         finally:

@@ -91,7 +91,15 @@ def main():
         print(f"{label:>28}: {dt/n_steps*1e3:7.1f} ms/step  {rate:7.1f} img/s")
         return rate
 
-    # in-memory synthetic reference rate
+    # device-resident reference rate: what the chip does when data is already
+    # in HBM (bench.py's pool mode) — the bar every input path is judged by
+    dev_batches = [shard_batch(synthetic_batch(batch_size=args.batch,
+                                               image_size=args.size, seed=s),
+                               trainer.mesh) for s in range(4)]
+    r_device = run((dev_batches[i % 4] for i in range(args.steps)),
+                   "device-resident pool", args.steps)
+
+    # in-memory synthetic with per-step host->device transfer
     synth = [synthetic_batch(batch_size=args.batch, image_size=args.size, seed=s)
              for s in range(4)]
     r_synth = run((synth[i % 4] for i in range(args.steps)), "synthetic in-memory",
@@ -104,11 +112,35 @@ def main():
     r_async = run(device_prefetch(iter(loader), trainer.mesh),
                   f"files, {args.workers} workers + device prefetch", args.steps)
 
+    # uint8 streaming: 4x smaller transfer, decode served from the RAM cache
+    # after a warm pass (epoch >= 2 steady state)
+    ds.enable_cache()
+    for i in range(len(ds)):  # warm the decode cache (epoch-1 cost)
+        ds._raw_pair(i)
+    raw_loader = PrefetchLoader(ds, args.batch, num_workers=args.workers,
+                                seed=1, raw=True)
+    r_u8 = run(device_prefetch(iter(raw_loader), trainer.mesh, via_uint8=True),
+               "files, cached uint8 stream", args.steps)
+
+    # HBM-staged pool: decode once, zero host work per step (data/pool)
+    from tfcgan_tpu.data.pool import DevicePool
+
+    t0 = time.perf_counter()
+    dpool = DevicePool(ds, trainer.mesh)
+    stage_s = time.perf_counter() - t0
+    print(f"pool staged in {stage_s:.1f}s ({len(ds)} pairs, cached decode)")
+    r_pool = run(dpool.batches(args.batch, seed=1), "files, HBM-staged pool",
+                 args.steps)
+
     print(json.dumps({
+        "img_per_s_device_pool_ref": round(r_device, 1),
         "img_per_s_synthetic": round(r_synth, 1),
         "img_per_s_files_sync": round(r_sync, 1),
         "img_per_s_files_async": round(r_async, 1),
-        "async_vs_synthetic": round(r_async / r_synth, 3),
+        "img_per_s_files_uint8": round(r_u8, 1),
+        "img_per_s_files_pool": round(r_pool, 1),
+        "pool_vs_device_ref": round(r_pool / r_device, 3),
+        "pool_stage_seconds": round(stage_s, 1),
     }))
 
 
