@@ -479,7 +479,9 @@ class TestResNet18Converter:
         sd = {k: v.numpy() for k, v in net.state_dict().items()}
         params = convert(sd)
 
-        rn = models.resnet.ResNet18(num_classes=None, norm="folded")
+        from tfcgan_tpu.models.resnet import ResNet18
+
+        rn = ResNet18(num_classes=None, norm="folded")
         template = rn.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
         loaded = serialization.from_state_dict(template, params)
 

@@ -160,6 +160,14 @@ def cmd_train(args):
     except FileNotFoundError:
         pass  # no test split — skip sampling
 
+    # weight/grad histogram logging (nemar/util/tb_visualizer.py parity)
+    hist_logger = None
+    if getattr(args, "hist_every", 0):
+        from tfcgan_tpu.train.histograms import HistogramLogger
+
+        hist_logger = HistogramLogger(
+            os.path.join(args.out_dir or ".", "hists.jsonl"))
+
     # metric-driven LR (NeMAR 'plateau'): step once per epoch on loss_G
     plateau = None
     if cfg.optim.schedule == "plateau":
@@ -174,7 +182,8 @@ def cmd_train(args):
         it = device_prefetch(it, trainer.mesh)
     for epoch in range(cfg.train.n_epochs):
         state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
-                            sample_hook=sample_hook)
+                            sample_hook=sample_hook, hist_logger=hist_logger,
+                            hist_every=getattr(args, "hist_every", 0))
         if plateau is not None and trainer.last_metrics is not None:
             lr = plateau.step(float(trainer.last_metrics["loss_G"]))
             state = set_learning_rate(state, lr)
@@ -182,6 +191,11 @@ def cmd_train(args):
             path = save_checkpoint(cfg.train.checkpoint_dir, state)
             print(f"\n[epoch {epoch}] checkpoint -> {path}")
     save_checkpoint(cfg.train.checkpoint_dir, state)
+    if hist_logger is not None:
+        from tfcgan_tpu.train.histograms import write_histogram_html
+
+        hist_logger.close()
+        print(f"\nhistograms -> {write_histogram_html(hist_logger.path)}")
 
 
 def cmd_test(args):
@@ -344,6 +358,10 @@ def main(argv=None):
 
     sp = sub.add_parser("train", parents=[common])
     sp.add_argument("--resume", default=None, help="checkpoint path to resume from")
+    sp.add_argument("--hist-every", type=int, default=0,
+                    help="log weight+grad histograms every N steps to "
+                         "<out-dir>/hists.jsonl (0 = off); render with "
+                         "train.histograms.write_histogram_html")
     sp.add_argument("--extra-root", action="append", default=None,
                     help="additional dataset root(s) for balanced mixtures")
     sp.set_defaults(fn=cmd_train)

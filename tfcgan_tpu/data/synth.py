@@ -51,6 +51,56 @@ def synthetic_iterator(num_batches: int, **kw):
         yield synthetic_batch(seed=i, **kw)
 
 
+def synthetic_batch_device(
+    batch_size: int = 8,
+    image_size: int = 64,
+    channels: int = 3,
+    seed: int = 0,
+    with_labels: bool = False,
+    num_classes: int = 4,
+):
+    """``synthetic_batch`` generated ON DEVICE (jitted PRNG, zero host->device
+    transfer). Statistically equivalent to the host version, not bit-equal.
+
+    Exists because the tunneled TPU in this environment moves a 100 MB b128
+    batch in minutes when the tunnel degrades — benches/probes that only need
+    *plausible* data should never pay that."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+    def make(key, batch_size, image_size, channels, with_labels, num_classes):
+        ka, kb, kg, ke, kg2 = jax.random.split(key, 5)
+
+        def smooth(k):
+            x = jax.random.normal(
+                k, (batch_size, image_size // 8, image_size // 8, channels),
+                jnp.float32)
+            x = jnp.repeat(jnp.repeat(x, 8, axis=1), 8, axis=2)
+            return jnp.tanh(x)
+
+        a, b = smooth(ka), smooth(kb)
+        red_u8 = jnp.round((b[..., 0] * 0.5 + 0.5) * 255.0)
+        t_b = TEMP_MIN_C + red_u8 * (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+        batch = {"A": a, "B": b, "T_B": t_b}
+        if with_labels:
+            lab3 = jnp.stack(
+                [
+                    jax.random.randint(kg, (batch_size,), 0, 2),
+                    jax.random.randint(ke, (batch_size,), 0, num_classes),
+                    jax.random.randint(kg2, (batch_size,), 0, 3),
+                ],
+                axis=1,
+            ).astype(jnp.int32)
+            batch["LAB3"] = lab3
+            batch["LAB"] = lab3[:, 1]
+        return batch
+
+    return make(jax.random.PRNGKey(seed), batch_size, image_size, channels,
+                with_labels, num_classes)
+
+
 def _face_scene(rng: np.random.RandomState, n: int, size: int) -> np.ndarray:
     """Procedural face-like grayscale scenes in [0, 1], (N, H, W).
 

@@ -36,7 +36,11 @@ from tfcgan_tpu.train.state import GANTrainState, create_state, make_optimizers
 from tfcgan_tpu.train.log import JsonlLogger
 
 
-def make_train_step(cfg: ExperimentConfig, recipe) -> Callable:
+def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -> Callable:
+    """``return_grads=True`` additionally returns the (g_grads, d_grads)
+    trees — used by ``Trainer.fit``'s histogram steps (the TB ``add_histogram``
+    parity path, ``nemar/util/tb_visualizer.py:60-104``). A separate variant so
+    the normal step never ships params-sized grad trees out of the graph."""
     g_tx, d_tx = make_optimizers(cfg)
     import optax
 
@@ -76,6 +80,8 @@ def make_train_step(cfg: ExperimentConfig, recipe) -> Callable:
             d_opt_state=d_opt_state,
             extra=extra,
         )
+        if return_grads:
+            return new_state, metrics, {"G": g_grads, "D": d_grads}
         return new_state, metrics
 
     return train_step
@@ -92,6 +98,7 @@ class Trainer:
         )
         self.logger = logger
         self._step_fn = None
+        self._grads_step_fn = None
         self.last_metrics = None  # most recent step's metric dict (device)
 
     def init_state(self, key: jax.Array, batch) -> GANTrainState:
@@ -118,6 +125,21 @@ class Trainer:
             self._step_fn = step_fn
         return self._step_fn
 
+    def compiled_grads_step(self):
+        """Step variant that also returns the grad trees (histogram steps
+        only — compiled lazily on first use)."""
+        if self._grads_step_fn is None:
+            step = make_train_step(self.cfg, self.recipe, return_grads=True)
+            jitted = jax.jit(step, donate_argnums=(0,))
+            mesh = self.mesh
+
+            def step_fn(state, batch):
+                with loss_mesh(mesh):
+                    return jitted(state, batch)
+
+            self._grads_step_fn = step_fn
+        return self._grads_step_fn
+
     def fit(
         self,
         state: GANTrainState,
@@ -127,10 +149,15 @@ class Trainer:
         sample_hook=None,
         sample_every: int | None = None,
         check_finite: bool = False,
+        hist_logger=None,
+        hist_every: int | None = None,
     ) -> GANTrainState:
         """Run steps. ``sample_hook(state, step)`` mirrors the reference's
         ``sample_images`` visual smoke test (``TFCGAN_multigpu_globalFFT.py:
-        584-585``); ``check_finite`` raises on NaN/Inf losses."""
+        584-585``); ``check_finite`` raises on NaN/Inf losses; ``hist_logger``
+        (a ``train.histograms.HistogramLogger``) records weight+grad
+        histograms every ``hist_every`` steps (TB-visualizer parity,
+        ``nemar/util/tb_visualizer.py:60-104``)."""
         from tfcgan_tpu.data.prefetch import is_device_batch
         from tfcgan_tpu.train.profiling import assert_finite
 
@@ -144,7 +171,16 @@ class Trainer:
                 break
             if not is_device_batch(batch):  # device_prefetch already placed it
                 batch = shard_batch(batch, self.mesh)
-            state, metrics = step_fn(state, batch)
+            if hist_logger is not None and hist_every and i % hist_every == 0:
+                from tfcgan_tpu.train.histograms import tree_histograms
+
+                state, metrics, grads = self.compiled_grads_step()(state, batch)
+                step_no = int(state.step)
+                hist_logger.write(step_no, "weights", tree_histograms(
+                    {"G": state.g_params, "D": state.d_params}))
+                hist_logger.write(step_no, "grads", tree_histograms(grads))
+            else:
+                state, metrics = step_fn(state, batch)
             self.last_metrics = metrics  # device arrays; sync only on read
             if check_finite:
                 assert_finite(metrics, int(state.step))

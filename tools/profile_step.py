@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from tfcgan_tpu.config import get_experiment
-from tfcgan_tpu.data.synth import synthetic_batch
+from tfcgan_tpu.data.synth import synthetic_batch_device
 from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
 from tfcgan_tpu.recipes import build_recipe
 from tfcgan_tpu.train.trainer import Trainer
@@ -23,22 +23,35 @@ from tfcgan_tpu.train.trainer import Trainer
 B = int(os.environ.get("B", "128"))
 SIZE = 256
 OUT = os.environ.get("TRACE_DIR", "/tmp/step_trace")
+EXP = os.environ.get("EXP", "fft_glo")
 
-cfg = get_experiment("fft_glo")
+import time as _t
+_t0 = _t.time()
+def _log(m):
+    print(f"[{_t.time()-_t0:7.1f}s] {m}", flush=True)
+
+cfg = get_experiment(EXP)
 cfg = cfg.replace(
     data=cfg.data.__class__(batch_size=B, image_size=SIZE),
     train=cfg.train.__class__(compute_dtype="bfloat16"),
 )
 recipe = build_recipe(cfg)
 trainer = Trainer(cfg, recipe, mesh=make_mesh())
-batch = shard_batch(synthetic_batch(batch_size=B, image_size=SIZE), trainer.mesh)
-state = trainer.init_state(jax.random.PRNGKey(0),
-                           synthetic_batch(batch_size=B, image_size=SIZE))
+# device-generated batch: the tunneled TPU moves 100 MB in minutes when the
+# tunnel degrades; never pay host->device transfer for synthetic data
+batch = shard_batch(synthetic_batch_device(batch_size=B, image_size=SIZE),
+                    trainer.mesh)
+float(np.asarray(batch["A"][0, 0, 0, 0]))
+_log("batch on device")
+state = trainer.init_state(jax.random.PRNGKey(0), batch)
+float(np.asarray(state.step))
+_log("state initialized")
 step = trainer.compiled_step()
 
 for _ in range(3):
     state, m = step(state, batch)
 float(np.asarray(m["loss_G"]))
+_log("warmup done (compile + 3 steps)")
 t0 = time.perf_counter()
 for _ in range(5):
     state, m = step(state, batch)
@@ -46,10 +59,12 @@ float(np.asarray(m["loss_G"]))
 per_step_ms = (time.perf_counter() - t0) / 5 * 1e3
 print(f"measured: {per_step_ms:.1f} ms/step ({B / per_step_ms * 1e3:.0f} img/s)")
 
+_log("tracing 3 steps")
 with jax.profiler.trace(OUT):
     for _ in range(3):
         state, m = step(state, batch)
     float(np.asarray(m["loss_G"]))
+_log("trace collected")
 
 # ---- parse newest trace.json.gz
 traces = sorted(glob.glob(os.path.join(OUT, "**", "*.trace.json.gz"),
