@@ -29,7 +29,6 @@ def main() -> None:
     import jax
 
     from tfcgan_tpu.config import get_experiment
-    from tfcgan_tpu.data.synth import synthetic_batch
     from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
     from tfcgan_tpu.recipes import build_recipe
     from tfcgan_tpu.train.trainer import Trainer
@@ -42,17 +41,37 @@ def main() -> None:
     )
     recipe = build_recipe(cfg)
     trainer = Trainer(cfg, recipe, mesh=make_mesh())
-    batch = shard_batch(synthetic_batch(batch_size=BATCH, image_size=SIZE), trainer.mesh)
-    state = trainer.init_state(jax.random.PRNGKey(0), synthetic_batch(batch_size=BATCH, image_size=SIZE))
+    # batches are generated ON DEVICE: the tunneled TPU moves a 100 MB host
+    # batch in minutes when the tunnel degrades, which would turn a compute
+    # bench into a transfer bench (observed 2026-08-17)
+    from tfcgan_tpu.data.synth import synthetic_batch_device
+
+    batch = shard_batch(
+        synthetic_batch_device(batch_size=BATCH, image_size=SIZE), trainer.mesh
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
     step = trainer.compiled_step()
 
     import numpy as np
 
     # NOTE: jax.block_until_ready does not reliably block on the tunneled TPU
     # platform — materialize a scalar on host to force full completion.
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch)
-    float(np.asarray(metrics["loss_G"]))
+    try:
+        for _ in range(WARMUP):
+            state, metrics = step(state, batch)
+        float(np.asarray(metrics["loss_G"]))
+    except Exception:
+        # safety net: if the Pallas blur kernel fails to compile on this
+        # backend, fall back to the pure-XLA blur and retry once
+        import os
+
+        os.environ["TFCGAN_PALLAS_BLUR"] = "0"
+        trainer = Trainer(cfg, build_recipe(cfg), mesh=make_mesh())
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.compiled_step()
+        for _ in range(WARMUP):
+            state, metrics = step(state, batch)
+        float(np.asarray(metrics["loss_G"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

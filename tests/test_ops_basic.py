@@ -41,6 +41,22 @@ class TestBlurPool:
         want = F.conv2d(xp, k, stride=stride, groups=3).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    @pytest.mark.parametrize("shape", [(2, 16, 16, 3), (1, 15, 17, 5), (1, 7, 9, 4)])
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_separable_matches_padded_oracle(self, shape, stride):
+        # the fast path (zero-pad-in-conv + edge re-adds) vs the direct
+        # materialized-reflect-pad form, values and gradients, odd sizes incl.
+        from tfcgan_tpu.ops.blurpool import blur_pool_padded
+
+        x = jnp.asarray(rand(*shape, seed=3))
+        got = np.asarray(ops.blur_pool(x, stride=stride))
+        want = np.asarray(blur_pool_padded(x, stride=stride))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        g_fast = jax.grad(lambda v: (ops.blur_pool(v, stride=stride) ** 2).sum())(x)
+        g_ref = jax.grad(lambda v: (blur_pool_padded(v, stride=stride) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-5)
+
 
 class TestQuantize:
     def test_uint8_torch_semantics(self):

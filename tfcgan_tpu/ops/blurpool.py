@@ -3,14 +3,20 @@
 The reference uses ``antialiased_cnns.BlurPool(C, stride=s)`` with the default
 ``filt_size=4`` in every generator/discriminator block (e.g.
 ``/root/reference/TFC-GAN-FFT/TFCGAN_multigpu_globalFFT.py:111,125,194``).
-Semantics reproduced here:
+Semantics reproduced exactly:
 
 - binomial filter ``[1, 3, 3, 1]`` (outer product, normalized to sum 1),
 - reflection padding of (1, 2) on each spatial dim,
 - depthwise conv with the given stride (stride 1 = pure blur, used in UNetUp).
 
-TPU-first: expressed as a feature-group-count depthwise ``conv_general_dilated``
-in NHWC so XLA lowers it onto the MXU/VPU and fuses the pad.
+TPU-first implementation: dispatches to the Pallas kernel in
+``ops/pallas_kernels/blurpool.py`` (VMEM-resident separable shift-add with
+exact reflect halos and a custom exact VJP). The op is memory-bound (read X,
+write X/4) and every pure-XLA formulation profiled on the b128 FFT-GLO train
+step was far off that roofline: materialized ``jnp.pad(reflect)`` +
+depthwise conv = 138 ms/step, zero-pad-in-conv separable + DUS edge fixes =
+113 ms, banded-matrix MXU einsum = 130 ms (layout transposes around the
+contraction). CPU and odd shapes use the direct padded form below.
 """
 
 from __future__ import annotations
@@ -39,11 +45,36 @@ def make_blur_kernel(filt_size: int = 4, dtype=jnp.float32) -> jax.Array:
 
 
 def blur_pool(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
-    """Blur + subsample. ``x``: (N, H, W, C). Matches antialiased_cnns.BlurPool.
+    """Blur + subsample. ``x``: (N, H, W, C). Matches
+    ``antialiased_cnns.BlurPool(filt_size=4)`` =
+    ReflectionPad2d((1,2,1,2)) -> depthwise [1,3,3,1]⊗[1,3,3,1]/64 conv.
 
-    Reflection-pads (pad_l, pad_r) = ((filt_size-1)//2, ceil((filt_size-1)/2))
-    then runs a depthwise conv with ``stride``.
-    """
+    On TPU this dispatches to the Pallas kernel (fp32-accumulated separable
+    shift-add, exact reflect semantics, custom exact VJP) — every pure-XLA
+    formulation measured 113-138 ms/step on the b128 FFT-GLO train step (see
+    ops/pallas_kernels/blurpool.py). CPU (tests / virtual mesh) and
+    unsupported shapes use the direct padded form."""
+    import os
+
+    use_pallas = (
+        filt_size == 4
+        and jax.default_backend() != "cpu"
+        and os.environ.get("TFCGAN_PALLAS_BLUR", "1") != "0"  # kill switch
+    )
+    if use_pallas:
+        from tfcgan_tpu.ops.pallas_kernels.blurpool import (
+            blur_pool_fast,
+            blur_pool_supported,
+        )
+
+        if blur_pool_supported(x.shape, stride):
+            return blur_pool_fast(x, stride)
+    return blur_pool_padded(x, stride=stride, filt_size=filt_size)
+
+
+def blur_pool_padded(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
+    """The direct form (materialized reflect pad + one 2-D depthwise conv).
+    Kept as the oracle for tests/benches of the matmul fast path."""
     n, h, w, c = x.shape
     pad_l = (filt_size - 1) // 2
     pad_r = filt_size - 1 - pad_l  # == ceil((filt_size-1)/2)

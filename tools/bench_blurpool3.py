@@ -1,0 +1,42 @@
+"""A/B the NHWC Pallas blur-pool kernel vs the padded-XLA form on the chip."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfcgan_tpu.ops.blurpool import blur_pool_padded
+from tfcgan_tpu.ops.pallas_kernels.blurpool import blur_pool_fast
+
+
+def sync(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+
+
+def bench(fn, x, label, iters=10):
+    f = jax.jit(fn)
+    y = f(x); sync(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x)
+    sync(y)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{label:>34}: {dt:7.2f} ms")
+    return dt
+
+
+for shape, stride in [((32, 256, 256, 64), 2), ((32, 255, 255, 64), 2),
+                      ((32, 256, 256, 64), 1)]:
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    print(f"-- {shape} stride={stride}")
+    a = np.asarray(blur_pool_fast(x, stride).astype(jnp.float32))
+    b = np.asarray(blur_pool_padded(x, stride=stride).astype(jnp.float32))
+    print(f"   maxdiff fwd: {np.abs(a - b).max():.2e}")
+    bench(lambda v: blur_pool_fast(v, stride), x, "pallas fwd")
+    bench(lambda v: blur_pool_padded(v, stride=stride), x, "xla padded fwd")
+    bench(jax.grad(lambda v: jnp.sum(blur_pool_fast(v, stride).astype(jnp.float32) ** 2)),
+          x, "pallas fwd+bwd")
+    bench(jax.grad(lambda v: jnp.sum(blur_pool_padded(v, stride=stride).astype(jnp.float32) ** 2)),
+          x, "xla padded fwd+bwd")
