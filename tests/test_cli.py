@@ -10,6 +10,7 @@ from tfcgan_tpu.recipes import build_recipe
 class TestCLI:
     @pytest.mark.parametrize("cmd", [
         ["train", "--experiment", "fft_glo"],
+        ["train", "--experiment", "fft_glo", "--hist-every", "100"],
         ["test", "--experiment", "fft_glo", "--checkpoint", "x"],
         ["gen", "--experiment", "tfc_diff", "--checkpoint", "x"],
         ["eval", "--fake-dir", "a", "--real-dir", "b"],
