@@ -581,3 +581,36 @@ class TestResumeBitExact:
                 jax.device_get(getattr(resumed, field)),
             )
             assert all(jax.tree_util.tree_leaves(eq)), field
+
+    def test_async_checkpoint_matches_sync(self, tmp_path):
+        """AsyncCheckpointManager: save() overlaps IO with training; the
+        written state must restore bit-identical to the sync path, and
+        training continuing while the save is in flight must not corrupt it
+        (the snapshot is taken before save() returns)."""
+        from tfcgan_tpu.train.checkpoint import AsyncCheckpointManager
+
+        cfg = small_cfg()
+        trainer = Trainer(cfg, build_recipe(cfg))
+        batches = [synthetic_batch(batch_size=8, image_size=64, seed=s)
+                   for s in range(3)]
+        state = trainer.fit(
+            trainer.init_state(jax.random.PRNGKey(5), batches[0]), batches[:1])
+        snap = jax.device_get(state)
+
+        mgr = AsyncCheckpointManager(str(tmp_path / "async"))
+        path = mgr.save(state)
+        # keep training while the write is in flight
+        state = trainer.fit(state, batches[1:])
+        mgr.wait()
+
+        template = jax.device_get(
+            trainer.init_state(jax.random.PRNGKey(6), batches[0]))
+        restored = restore_checkpoint(path, template)
+        eq = jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            snap.g_params, restored.g_params)
+        assert all(jax.tree_util.tree_leaves(eq))
+        assert int(restored.step) == 1 and int(state.step) == 3
+        # idempotent re-save of the same step
+        assert mgr.save(restored) == path
+        mgr.close()

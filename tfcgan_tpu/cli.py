@@ -53,7 +53,6 @@ def _cfg_from_args(args):
 def cmd_train(args):
     from tfcgan_tpu.data.pairs import PairedImageDataset, batch_iterator
     from tfcgan_tpu.recipes import build_recipe
-    from tfcgan_tpu.train.checkpoint import save_checkpoint
     from tfcgan_tpu.train.log import JsonlLogger
     from tfcgan_tpu.train.trainer import Trainer
 
@@ -168,6 +167,10 @@ def cmd_train(args):
         hist_logger = HistogramLogger(
             os.path.join(args.out_dir or ".", "hists.jsonl"))
 
+    from tfcgan_tpu.train.checkpoint import AsyncCheckpointManager
+
+    ckpt_mgr = AsyncCheckpointManager(cfg.train.checkpoint_dir)
+
     # metric-driven LR (NeMAR 'plateau'): step once per epoch on loss_G
     plateau = None
     if cfg.optim.schedule == "plateau":
@@ -188,9 +191,10 @@ def cmd_train(args):
             lr = plateau.step(float(trainer.last_metrics["loss_G"]))
             state = set_learning_rate(state, lr)
         if cfg.train.checkpoint_interval > 0 and epoch % cfg.train.checkpoint_interval == 0:
-            path = save_checkpoint(cfg.train.checkpoint_dir, state)
+            path = ckpt_mgr.save(state)  # async: IO overlaps the next epoch
             print(f"\n[epoch {epoch}] checkpoint -> {path}")
-    save_checkpoint(cfg.train.checkpoint_dir, state)
+    ckpt_mgr.save(state)
+    ckpt_mgr.close()
     if hist_logger is not None:
         from tfcgan_tpu.train.histograms import write_histogram_html
 
