@@ -82,6 +82,14 @@ class TestFFTGloTraining:
         shard_counts = {len(v.sharding.device_set) for v in batch.values()}
         assert shard_counts == {8}
 
+    def test_indivisible_batch_raises_clearly(self):
+        cfg = small_cfg()
+        trainer = Trainer(cfg, build_recipe(cfg))
+        from tfcgan_tpu.parallel.mesh import shard_batch
+
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_batch(synthetic_batch(batch_size=4, image_size=64), trainer.mesh)
+
 
 class TestRecipeMatrix:
     @pytest.mark.parametrize(

@@ -95,6 +95,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Put a host batch dict onto the mesh: batch dim over ``data``, and for
     image-rank arrays the H dim over ``spatial`` when that axis exists."""
+    n_data = mesh.shape.get(axis, 1)
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and getattr(leaves[0], "shape", (n_data,))[0] % n_data != 0:
+        raise ValueError(
+            f"global batch size {leaves[0].shape[0]} is not divisible by the "
+            f"mesh's '{axis}' axis ({n_data} devices) — raise the batch size "
+            f"or shrink the mesh (tfcgan_tpu shards the batch dim over "
+            f"'{axis}')"
+        )
+
     def put(x):
         return jax.device_put(x, image_sharding(mesh, getattr(x, "ndim", 1), axis))
 
