@@ -129,32 +129,59 @@ def _svg_hist(counts: list[int], width: int = 240, height: int = 60,
     return f'<svg width="{width}" height="{height}">{bars}</svg>'
 
 
+def _svg_series(rows: list[list[int]], width: int = 240, row_h: int = 6,
+                color: str = "#6ab0f3", max_rows: int = 16) -> str:
+    """Histogram-over-steps heatmap (x = bin, y = step, opacity = count) —
+    the static equivalent of TensorBoard's stacked histogram view."""
+    rows = rows[-max_rows:]
+    n = len(rows[0])
+    bw = width / n
+    cells = []
+    for r, counts in enumerate(rows):
+        peak = max(max(counts), 1)
+        for i, c in enumerate(counts):
+            if c:
+                cells.append(
+                    f'<rect x="{i * bw:.1f}" y="{r * row_h}" width="{bw:.1f}" '
+                    f'height="{row_h}" fill="{color}" '
+                    f'opacity="{0.15 + 0.85 * c / peak:.2f}"/>'
+                )
+    return (f'<svg width="{width}" height="{len(rows) * row_h}">'
+            + "".join(cells) + "</svg>")
+
+
 def write_histogram_html(jsonl_path: str, out_path: str | None = None,
                          title: str | None = None) -> str:
-    """Render the newest record per (kind) from the JSONL log as one section
-    of SVG histograms per parameter/gradient leaf. Returns the written path."""
-    latest: dict[str, dict] = {}
+    """Render the JSONL log as one section per kind: the newest histogram per
+    leaf plus a step-evolution heatmap when several records exist. Returns
+    the written path."""
+    history: dict[str, list[dict]] = {}
     with open(jsonl_path) as f:
         for line in f:
             rec = json.loads(line)
-            cur = latest.get(rec["kind"])
-            if cur is None or rec["step"] >= cur["step"]:
-                latest[rec["kind"]] = rec
+            history.setdefault(rec["kind"], []).append(rec)
     sections = []
-    for kind in sorted(latest):
-        rec = latest[kind]
+    for kind in sorted(history):
+        recs = sorted(history[kind], key=lambda r: r["step"])
+        rec = recs[-1]
         color = "#6ab0f3" if kind == "weights" else "#f3a66a"
         cells = []
         for name, st in rec["leaves"].items():
+            series = [r["leaves"][name]["counts"] for r in recs
+                      if name in r["leaves"]]
+            plot = (_svg_series(series, color=color) if len(series) > 1
+                    else _svg_hist(st["counts"], color=color))
             cells.append(
                 '<div class="leaf">'
                 f'<div class="lab" title="{name}">{name}</div>'
-                f'{_svg_hist(st["counts"], color=color)}'
+                f'{plot}'
                 f'<div class="meta">[{st["lo"]:.3g}, {st["hi"]:.3g}] '
                 f'μ {st["mean"]:.3g} σ {st["std"]:.3g} ‖·‖ {st["l2"]:.3g}</div>'
                 "</div>"
             )
-        sections.append(f'<h3>{kind} @ step {rec["step"]}</h3>\n' + "\n".join(cells))
+        sections.append(
+            f'<h3>{kind} @ step {rec["step"]} '
+            f'({len(recs)} records)</h3>\n' + "\n".join(cells))
     page = _PAGE.format(
         title=title or os.path.basename(jsonl_path), sections="\n".join(sections)
     )
