@@ -590,6 +590,29 @@ class TestResumeBitExact:
             )
             assert all(jax.tree_util.tree_leaves(eq)), field
 
+    def test_restore_across_mesh_sizes(self, tmp_path):
+        """Elastic resume: a checkpoint written on an 8-device mesh restores
+        onto a 1-device mesh (and would restore onto any other layout — state
+        is replicated, so the manifest is layout-free). SURVEY §5.3."""
+        from tfcgan_tpu.parallel.mesh import make_mesh, replicate
+
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        t8 = Trainer(cfg, recipe, mesh=make_mesh(8))
+        batches = [synthetic_batch(batch_size=8, image_size=64, seed=s)
+                   for s in range(2)]
+        state8 = t8.fit(t8.init_state(jax.random.PRNGKey(3), batches[0]), batches)
+        path = save_checkpoint(str(tmp_path), state8)
+
+        t1 = Trainer(cfg, recipe, mesh=make_mesh(1))
+        template = jax.device_get(
+            t1.init_state(jax.random.PRNGKey(4), batches[0]))
+        restored = restore_checkpoint(path, template)
+        state1 = t1.fit(replicate(restored, t1.mesh), batches[:1])
+        assert int(state1.step) == 3
+        m = {k: float(v) for k, v in t1.last_metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+
     def test_async_checkpoint_matches_sync(self, tmp_path):
         """AsyncCheckpointManager: save() overlaps IO with training; the
         written state must restore bit-identical to the sync path, and
