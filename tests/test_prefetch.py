@@ -147,6 +147,44 @@ class TestDevicePool:
         state = trainer.fit(state, [first, *it])
         assert int(state.step) == 2
 
+    def test_fused_pool_step_matches_regular_step(self, pair_dir):
+        """Trainer.fit(pool=...) fuses batch assembly into the train-step
+        program; with the same indices it must produce the same state as the
+        assemble-then-step path bit for bit."""
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.data.pool import DevicePool
+        from tfcgan_tpu.recipes import build_recipe
+        from tfcgan_tpu.train.trainer import Trainer
+
+        cfg = get_experiment("ablation_noperc")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=8, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            loss=cfg.loss.__class__(fft_mode="off", patch_grid=0, use_temp=False,
+                                    use_lpips=False),
+        )
+        recipe = build_recipe(cfg)
+        ds = PairedImageDataset(pair_dir, "train", image_size=64)
+
+        t_a = Trainer(cfg, recipe)
+        pool_a = DevicePool(ds, t_a.mesh)
+        idxs = list(pool_a.index_batches(8, seed=7, epochs=2))
+        s_a = t_a.init_state(jax.random.PRNGKey(1), pool_a.batch(idxs[0]))
+        s_a = t_a.fit(s_a, idxs, pool=pool_a)
+
+        t_b = Trainer(cfg, recipe)
+        pool_b = DevicePool(ds, t_b.mesh)
+        s_b = t_b.init_state(jax.random.PRNGKey(1), pool_b.batch(idxs[0]))
+        s_b = t_b.fit(s_b, [pool_b.batch(i) for i in idxs])
+
+        assert int(s_a.step) == int(s_b.step) == len(idxs)
+        eq = jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(s_a.g_params), jax.device_get(s_b.g_params))
+        assert all(jax.tree_util.tree_leaves(eq))
+        m = {k: float(v) for k, v in t_a.last_metrics.items()}
+        assert all(np.isfinite(v) for v in m.values())
+
     def test_labels_ride_along(self, pair_dir):
         from tfcgan_tpu.data.pool import DevicePool
         from tfcgan_tpu.parallel.mesh import make_mesh

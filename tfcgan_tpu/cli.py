@@ -77,6 +77,7 @@ def cmd_train(args):
     logger = JsonlLogger(os.path.join(cfg.train.log_dir, f"{cfg.name}.jsonl"))
     trainer = Trainer(cfg, recipe, logger=logger)
     staged = False  # True when `it` already yields device-placed batches
+    pool = None  # set on the HBM-staged path; fit() then fuses assembly
     if len(datasets) > 1:
         # balanced multi-dataset training (favtgan ED/EA, SURVEY §2.8)
         it = BalancedMixture(
@@ -93,11 +94,12 @@ def cmd_train(args):
         if staging == "auto":
             staging = "pool" if est < (2 << 30) else "stream"
         if staging == "pool":
-            # HBM-staged uint8 pool, batches assembled on device (data/pool)
+            # HBM-staged uint8 pool; batch assembly fused into the train-step
+            # program (one dispatch per step, data/pool + Trainer.fit(pool=))
             from tfcgan_tpu.data.pool import DevicePool
 
             pool = DevicePool(datasets[0], trainer.mesh, log_every=500)
-            it = pool.batches(cfg.data.batch_size, seed=cfg.train.seed)
+            it = pool.index_batches(cfg.data.batch_size, seed=cfg.train.seed)
             staged = True
         elif cfg.data.num_workers > 0:
             # threaded uint8 streaming (reference DataLoader analogue), with
@@ -115,7 +117,8 @@ def cmd_train(args):
             it = batch_iterator(datasets[0], cfg.data.batch_size,
                                 seed=cfg.train.seed)
     first = next(it)
-    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
+    init_batch = pool.batch(first) if pool is not None else first
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), init_batch)
     from tfcgan_tpu.train.profiling import count_params
 
     print(f"G params: {count_params(state.g_params):,} | "
@@ -125,7 +128,7 @@ def cmd_train(args):
         state = restore_checkpoint(args.resume, jax.device_get(state))
         print(f"resumed from {args.resume} at step {int(state.step)}")
     else:
-        state = trainer.fit(state, [first])  # step 0
+        state = trainer.fit(state, [first], pool=pool)  # step 0
 
     # training-time visual smoke test (the reference's sample_images):
     # generate on a fixed test batch every sample_interval steps
@@ -186,7 +189,8 @@ def cmd_train(args):
     for epoch in range(cfg.train.n_epochs):
         state = trainer.fit(state, it, num_steps=steps_per_epoch, check_finite=True,
                             sample_hook=sample_hook, hist_logger=hist_logger,
-                            hist_every=getattr(args, "hist_every", 0))
+                            hist_every=getattr(args, "hist_every", 0),
+                            pool=pool)
         if plateau is not None and trainer.last_metrics is not None:
             lr = plateau.step(float(trainer.last_metrics["loss_G"]))
             state = set_learning_rate(state, lr)

@@ -64,25 +64,37 @@ class DevicePool:
         self.n = int(host["A_u8"].shape[0])
         self._assemble = self._build_assemble()
 
+    def assemble_pure(self, pool, idx):
+        """Pure gather+normalize, usable standalone (jitted below) or INSIDE
+        another jitted program (``Trainer.fit(pool=...)`` fuses it into the
+        train step so each step is ONE dispatch)."""
+        has_lab3 = "LAB3" in self._pool
+        has_lab = "LAB" in self._pool
+        a_u8 = jnp.take(pool["A_u8"], idx, axis=0)
+        b_u8 = jnp.take(pool["B_u8"], idx, axis=0)
+        # pairs._normalize formula: (u8/255 - .5)/.5 (XLA may reassociate)
+        norm = lambda u: (u.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        t_b = TEMP_MIN_C + b_u8[..., 0].astype(jnp.float32) * (
+            (TEMP_MAX_C - TEMP_MIN_C) / 255.0
+        )
+        out = {"A": norm(a_u8), "B": norm(b_u8), "T_B": t_b}
+        if has_lab3:
+            out["LAB3"] = jnp.take(pool["LAB3"], idx, axis=0)
+        if has_lab:
+            out["LAB"] = jnp.take(pool["LAB"], idx, axis=0)
+        return out
+
+    @property
+    def arrays(self) -> dict[str, jax.Array]:
+        """The staged uint8 pool (pass as an argument, never close over it —
+        closed-over arrays become baked-in constants under jit)."""
+        return self._pool
+
     def _build_assemble(self):
         mesh = self.mesh
         has_lab3 = "LAB3" in self._pool
         has_lab = "LAB" in self._pool
-
-        def assemble(pool, idx):
-            a_u8 = jnp.take(pool["A_u8"], idx, axis=0)
-            b_u8 = jnp.take(pool["B_u8"], idx, axis=0)
-            # pairs._normalize formula: (u8/255 - .5)/.5 (XLA may reassociate)
-            norm = lambda u: (u.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-            t_b = TEMP_MIN_C + b_u8[..., 0].astype(jnp.float32) * (
-                (TEMP_MAX_C - TEMP_MIN_C) / 255.0
-            )
-            out = {"A": norm(a_u8), "B": norm(b_u8), "T_B": t_b}
-            if has_lab3:
-                out["LAB3"] = jnp.take(pool["LAB3"], idx, axis=0)
-            if has_lab:
-                out["LAB"] = jnp.take(pool["LAB"], idx, axis=0)
-            return out
+        assemble = self.assemble_pure
 
         def out_shardings():
             sh = {
@@ -102,6 +114,28 @@ class DevicePool:
         """Assemble one batch for integer indices ``idx`` on device."""
         return self._assemble(self._pool, jnp.asarray(idx, jnp.int32))
 
+    def index_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 42,
+        drop_last: bool = True,
+        epochs: int | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Per-batch integer index arrays with ``pairs.batch_iterator`` order
+        semantics — feed to ``Trainer.fit(..., pool=this)`` for the fused
+        single-dispatch path."""
+        rng = np.random.RandomState(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(self.n)
+            if shuffle:
+                rng.shuffle(order)
+            n_full = self.n // batch_size if drop_last else -(-self.n // batch_size)
+            for i in range(n_full):
+                yield order[i * batch_size : (i + 1) * batch_size]
+            epoch += 1
+
     def batches(
         self,
         batch_size: int,
@@ -112,20 +146,9 @@ class DevicePool:
     ) -> Iterator[dict[str, jax.Array]]:
         """Device-batch iterator with ``pairs.batch_iterator`` order
         semantics. ``Trainer.fit`` consumes these directly (already placed)."""
-        rng = np.random.RandomState(seed)
-
-        def index_stream():
-            epoch = 0
-            while epochs is None or epoch < epochs:
-                order = np.arange(self.n)
-                if shuffle:
-                    rng.shuffle(order)
-                n_full = (
-                    self.n // batch_size if drop_last else -(-self.n // batch_size)
-                )
-                for i in range(n_full):
-                    yield order[i * batch_size : (i + 1) * batch_size]
-                epoch += 1
+        index_stream = lambda: self.index_batches(
+            batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last,
+            epochs=epochs)
 
         # assemble on a feeder thread: the per-batch index upload blocks its
         # caller (~40 ms over a tunneled chip), so overlapping it with the

@@ -99,6 +99,7 @@ class Trainer:
         self.logger = logger
         self._step_fn = None
         self._grads_step_fn = None
+        self._pool_step = None  # (pool, step_fn) cache
         self.last_metrics = None  # most recent step's metric dict (device)
 
     def init_state(self, key: jax.Array, batch) -> GANTrainState:
@@ -124,6 +125,37 @@ class Trainer:
 
             self._step_fn = step_fn
         return self._step_fn
+
+    def compiled_pool_step(self, pool):
+        """Train step with the batch gather+normalize from an HBM-staged
+        ``data.pool.DevicePool`` FUSED into the same jitted program: one
+        dispatch per step, only the (B,)-int32 index vector crosses the host
+        boundary (the separate-assemble path measured 77% of the in-HBM rate
+        over the tunneled chip purely from the second dispatch)."""
+        if self._pool_step and self._pool_step[0] is pool:
+            return self._pool_step[1]
+        step = make_train_step(self.cfg, self.recipe)
+        mesh = self.mesh
+
+        def fused(state, pool_arrays, idx):
+            batch = pool.assemble_pure(pool_arrays, idx)
+            from tfcgan_tpu.parallel.mesh import image_sharding
+
+            batch = {
+                k: jax.lax.with_sharding_constraint(
+                    v, image_sharding(mesh, v.ndim))
+                for k, v in batch.items()
+            }
+            return step(state, batch)
+
+        jitted = jax.jit(fused, donate_argnums=(0,))
+
+        def step_fn(state, idx):
+            with loss_mesh(mesh):
+                return jitted(state, pool.arrays, jnp.asarray(idx, jnp.int32))
+
+        self._pool_step = (pool, step_fn)
+        return step_fn
 
     def compiled_grads_step(self):
         """Step variant that also returns the grad trees (histogram steps
@@ -151,17 +183,22 @@ class Trainer:
         check_finite: bool = False,
         hist_logger=None,
         hist_every: int | None = None,
+        pool=None,
     ) -> GANTrainState:
         """Run steps. ``sample_hook(state, step)`` mirrors the reference's
         ``sample_images`` visual smoke test (``TFCGAN_multigpu_globalFFT.py:
         584-585``); ``check_finite`` raises on NaN/Inf losses; ``hist_logger``
         (a ``train.histograms.HistogramLogger``) records weight+grad
         histograms every ``hist_every`` steps (TB-visualizer parity,
-        ``nemar/util/tb_visualizer.py:60-104``)."""
+        ``nemar/util/tb_visualizer.py:60-104``).
+
+        With ``pool`` (a ``data.pool.DevicePool``), ``batches`` must yield
+        integer index arrays (``pool.index_batches``) and each step fuses
+        batch assembly into the train-step program — one dispatch per step."""
         from tfcgan_tpu.data.prefetch import is_device_batch
         from tfcgan_tpu.train.profiling import assert_finite
 
-        step_fn = self.compiled_step()
+        step_fn = self.compiled_pool_step(pool) if pool is not None else self.compiled_step()
         log_every = log_every or self.cfg.train.log_interval
         sample_every = sample_every or self.cfg.train.sample_interval
         t0 = time.time()
@@ -169,12 +206,13 @@ class Trainer:
         for i, batch in enumerate(batches):
             if num_steps is not None and i >= num_steps:
                 break
-            if not is_device_batch(batch):  # device_prefetch already placed it
+            if pool is None and not is_device_batch(batch):
                 batch = shard_batch(batch, self.mesh)
             if hist_logger is not None and hist_every and i % hist_every == 0:
                 from tfcgan_tpu.train.histograms import tree_histograms
 
-                state, metrics, grads = self.compiled_grads_step()(state, batch)
+                b = pool.batch(batch) if pool is not None else batch
+                state, metrics, grads = self.compiled_grads_step()(state, b)
                 step_no = int(state.step)
                 hist_logger.write(step_no, "weights", tree_histograms(
                     {"G": state.g_params, "D": state.d_params}))
