@@ -17,6 +17,11 @@ import time
 
 import numpy as np
 
+if os.environ.get("FORCE_CPU"):  # JAX_PLATFORMS env alone does NOT stick
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def make_dataset(root: str, n: int, size: int):
     from PIL import Image
@@ -132,6 +137,21 @@ def main():
     r_pool = run(dpool.batches(args.batch, seed=1), "files, HBM-staged pool",
                  args.steps)
 
+    # fused: assembly inside the train-step program (one dispatch per step)
+    fused_step = trainer.compiled_pool_step(dpool)
+    fused_state = trainer.init_state(jax.random.PRNGKey(1), first)
+    idxs = dpool.index_batches(args.batch, seed=1)
+    fused_state, m = fused_step(fused_state, next(idxs))  # compile
+    float(np.asarray(m["loss_G"]))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        fused_state, m = fused_step(fused_state, next(idxs))
+    float(np.asarray(m["loss_G"]))
+    dt = time.perf_counter() - t0
+    r_fused = args.batch * args.steps / dt
+    print(f"{'files, pool FUSED step':>28}: {dt/args.steps*1e3:7.1f} ms/step  "
+          f"{r_fused:7.1f} img/s")
+
     print(json.dumps({
         "img_per_s_device_pool_ref": round(r_device, 1),
         "img_per_s_synthetic": round(r_synth, 1),
@@ -139,7 +159,9 @@ def main():
         "img_per_s_files_async": round(r_async, 1),
         "img_per_s_files_uint8": round(r_u8, 1),
         "img_per_s_files_pool": round(r_pool, 1),
+        "img_per_s_files_pool_fused": round(r_fused, 1),
         "pool_vs_device_ref": round(r_pool / r_device, 3),
+        "fused_vs_device_ref": round(r_fused / r_device, 3),
         "pool_stage_seconds": round(stage_s, 1),
     }))
 
