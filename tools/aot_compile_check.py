@@ -5,7 +5,7 @@ XLA cost analysis WITHOUT a TPU: uses the local libtpu via
 jax.experimental.topologies (the tunneled chip's remote-compile helper can
 wedge for hours — this path needs neither the chip nor the tunnel).
 
-Usage: [B=128] [EXP=fft_glo] python tools/aot_compile_check.py
+Usage: [B=128] [EXP=fft_glo] [N_DEV=1|8] python tools/aot_compile_check.py
 """
 import os, sys, time
 sys.path.insert(0, "/root/repo")
@@ -19,9 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 
-topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x2x1")
-dev1 = np.array(topo.devices[:1])
-mesh = Mesh(dev1, ("data",))
+N_DEV = int(os.environ.get("N_DEV", "1"))
+topo = topologies.get_topology_desc(
+    platform="tpu",
+    topology_name="v5e:2x2x1" if N_DEV <= 4 else "v5e:2x4x1")
+mesh = Mesh(np.array(topo.devices[:N_DEV]), ("data",))
 rep = NamedSharding(mesh, P())
 
 from tfcgan_tpu.config import get_experiment
