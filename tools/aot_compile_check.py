@@ -34,12 +34,15 @@ from tfcgan_tpu.train.trainer import make_train_step
 
 B = int(os.environ.get("B", "128"))
 cfg = get_experiment(os.environ.get("EXP", "fft_glo"))
-cfg = cfg.replace(data=cfg.data.__class__(batch_size=B, image_size=256),
+SIZE = int(os.environ.get("SIZE", cfg.data.image_size))
+cfg = cfg.replace(data=cfg.data.__class__(batch_size=B, image_size=SIZE),
                   train=cfg.train.__class__(compute_dtype="bfloat16"))
 recipe = build_recipe(cfg)
 
 host_batch = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
-              for k, v in synthetic_batch(batch_size=B, image_size=256).items()}
+              for k, v in synthetic_batch(
+                  batch_size=B, image_size=SIZE,
+                  with_labels=cfg.loss.conditional).items()}
 state_avals = jax.eval_shape(
     lambda b: create_state(cfg, recipe, jax.random.PRNGKey(0), b), host_batch)
 log("state avals ready")
