@@ -7,6 +7,30 @@ from tfcgan_tpu.config import EXPERIMENTS, get_experiment
 from tfcgan_tpu.recipes import build_recipe
 
 
+class TestImportHygiene:
+    def test_package_import_never_initializes_a_backend(self):
+        """Importing the library (incl. the CLI and model zoo) must not touch
+        the device: a module-level ``jnp.asarray`` constant would initialize
+        the backend at import, which hangs host-only CLI commands
+        (prep-combine/prep-crop/gallery) whenever the TPU tunnel is down.
+        Poisoning the platform makes any init attempt raise."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'nonexistent-backend')\n"
+            "import tfcgan_tpu.cli, tfcgan_tpu.ops, tfcgan_tpu.models\n"
+            "import tfcgan_tpu.data.prep, tfcgan_tpu.recipes, tfcgan_tpu.evaluation\n"
+            "print('IMPORT_CLEAN')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=180,
+        )
+        assert r.returncode == 0 and "IMPORT_CLEAN" in r.stdout, r.stderr[-2000:]
+
+
 class TestCLI:
     @pytest.mark.parametrize("cmd", [
         ["train", "--experiment", "fft_glo"],

@@ -13,7 +13,7 @@ Rebuilds the reference's prep scripts:
 from __future__ import annotations
 
 import os
-from multiprocessing import Pool
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 from PIL import Image
@@ -37,9 +37,13 @@ def combine_a_and_b(dir_a: str, dir_b: str, dir_ab: str, workers: int = 8) -> in
         (os.path.join(dir_a, n), os.path.join(dir_b, n), os.path.join(dir_ab, n))
         for n in names
     ]
+    # threads, not multiprocessing.Pool (the reference's pix2pix heritage,
+    # ``combine_A_and_B_mod.py:9-25``): PIL releases the GIL in its codecs,
+    # and fork() after JAX initializes its thread pools can deadlock when
+    # this runs via the same CLI process as training/eval
     if workers > 1:
-        with Pool(workers) as p:
-            p.map(_combine_one, jobs)
+        with ThreadPoolExecutor(max_workers=workers) as p:
+            list(p.map(_combine_one, jobs))
     else:
         for j in jobs:
             _combine_one(j)

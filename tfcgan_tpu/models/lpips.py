@@ -23,10 +23,12 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Published LPIPS input scaling constants.
-_SHIFT = jnp.asarray([-0.030, -0.088, -0.188])
-_SCALE = jnp.asarray([0.458, 0.448, 0.450])
+# numpy, not jnp, so importing the model zoo never initializes the backend
+_SHIFT = np.asarray([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.asarray([0.458, 0.448, 0.450], dtype=np.float32)
 
 # VGG16 conv plan: (out_channels, pool_before)
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]

@@ -21,13 +21,16 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tfcgan_tpu.models.layers import TorchConv
 from tfcgan_tpu.models.vit import ViT
 from tfcgan_tpu.ops.norm import instance_norm
 from tfcgan_tpu.ops.warp import affine_grid, grid_sample, warp_affine
 
-IDENTITY_THETA = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)
+# numpy, not jnp: module-level device constants would initialize the JAX
+# backend at import time (importing the library must never touch the device)
+IDENTITY_THETA = np.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=np.float32)
 
 
 class LocalizerViT(nn.Module):

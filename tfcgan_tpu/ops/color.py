@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_GRAY_W = jnp.array([0.2989, 0.587, 0.114], dtype=jnp.float32)
+# numpy, not jnp: a module-level device constant would initialize the JAX
+# backend at import time (importing the library must never touch the device)
+_GRAY_W = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
 
 
 def rgb_to_grayscale(x: jax.Array) -> jax.Array:

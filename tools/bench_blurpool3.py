@@ -33,12 +33,17 @@ if os.environ.get("ALL_SHAPES"):
     _SHAPES = [((32, 256, 256, 64), 2), ((32, 255, 255, 64), 2),
                ((32, 256, 256, 64), 1)]
 for shape, stride in _SHAPES:
-    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32)
-                    ).astype(jnp.bfloat16)
+    # generated ON DEVICE: a 500 MB host->device transfer takes minutes when
+    # the axon tunnel degrades (CLAUDE.md)
+    x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
     print(f"-- {shape} stride={stride}")
-    a = np.asarray(blur_pool_fast(x, stride).astype(jnp.float32))
-    b = np.asarray(blur_pool_padded(x, stride=stride).astype(jnp.float32))
-    print(f"   maxdiff fwd: {np.abs(a - b).max():.2e}")
+    # maxdiff computed on device — pulling two 500 MB outputs to host would
+    # turn this into a tunnel-bandwidth bench
+    d = jax.jit(lambda v: jnp.abs(
+        blur_pool_fast(v, stride).astype(jnp.float32)
+        - blur_pool_padded(v, stride=stride).astype(jnp.float32)).max())(x)
+    print(f"   maxdiff fwd: {float(np.asarray(d)):.2e}")
     bench(lambda v: blur_pool_fast(v, stride), x, "pallas fwd")
     bench(lambda v: blur_pool_padded(v, stride=stride), x, "xla padded fwd")
     bench(jax.grad(lambda v: jnp.sum(blur_pool_fast(v, stride).astype(jnp.float32) ** 2)),
