@@ -209,6 +209,36 @@ class TestInferencerOutputs:
         assert stack.shape == (64 * 3, 64, 3)  # A | fake_B | real_B vertical
 
 
+class TestInferencerMesh:
+    def test_data_parallel_serving_matches_single_device(self):
+        """Mesh-sharded serving == unsharded, incl. a ragged batch (n=10 on
+        an 8-device data axis -> pad 6, trim back)."""
+        import jax
+        import numpy as np
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.data.synth import synthetic_batch
+        from tfcgan_tpu.infer import Inferencer
+        from tfcgan_tpu.parallel.mesh import make_mesh
+        from tfcgan_tpu.recipes import build_recipe
+
+        cfg = get_experiment("fft_glo")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=10, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+        )
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=10, image_size=64)
+        g_vars = recipe.G.init(jax.random.PRNGKey(0), batch["A"])
+        params = {"G": g_vars["params"]}
+
+        single = np.asarray(Inferencer(cfg, recipe, params)(batch))
+        mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+        assert mesh.shape["data"] > 1
+        sharded = np.asarray(Inferencer(cfg, recipe, params, mesh=mesh)(batch))
+        assert sharded.shape == single.shape == (10, 64, 64, 3)
+        np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
 class TestGallery:
     def test_write_gallery(self, tmp_path):
         from PIL import Image

@@ -227,9 +227,9 @@ def cmd_test(args):
     )
     template = trainer.init_state(jax.random.PRNGKey(0), first)
     state = restore_checkpoint(args.checkpoint, jax.device_get(template))
-    inf = Inferencer(cfg, recipe, state.g_params)
+    inf = Inferencer(cfg, recipe, state.g_params, mesh=trainer.mesh)
     # drop_last=False: inference must cover EVERY test image (the reference
-    # runs batch 1); the ragged final batch costs one extra compile.
+    # runs batch 1); ragged final batches are pad-and-trimmed to the mesh.
     n = inf.run_test_set(
         batch_iterator(ds, args.batch_size or 8, shuffle=False, epochs=1,
                        drop_last=False),

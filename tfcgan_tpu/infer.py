@@ -21,11 +21,23 @@ from tfcgan_tpu.ops.fftloss import fft_log_magnitude
 
 
 class Inferencer:
-    """Jitted eval-mode generation for any recipe exposing its generator."""
+    """Jitted eval-mode generation for any recipe exposing its generator.
 
-    def __init__(self, cfg: ExperimentConfig, recipe, g_params):
+    With ``mesh`` (any 1-D/2-D device mesh from ``parallel.make_mesh``) the
+    serve path is data-parallel: params are replicated once, every batch is
+    sharded over the mesh's data axis, and ragged batches are pad-and-trimmed
+    so throughput scales with chip count — the multi-chip replacement for the
+    reference's batch-1 DataParallel test scripts (``test_TFCGAN.py:186-218``).
+    """
+
+    def __init__(self, cfg: ExperimentConfig, recipe, g_params, mesh=None):
         self.cfg = cfg
         self.recipe = recipe
+        self.mesh = mesh
+        if mesh is not None:
+            from tfcgan_tpu.parallel.mesh import replicated_sharding
+
+            g_params = jax.device_put(g_params, replicated_sharding(mesh))
         self.g_params = g_params
         name = cfg.recipe
         if name == "tfcgan":
@@ -69,7 +81,22 @@ class Inferencer:
         if self.cfg.recipe == "tfcgan" and self.cfg.loss.conditional and "LAB3" not in batch:
             # unlabeled test dirs: all-zero (gender, ethn, age) condition
             batch = {**batch, "LAB3": np.zeros((batch["A"].shape[0], 3), np.int32)}
-        return self._fn(self.g_params, {k: jnp.asarray(v) for k, v in batch.items()})
+        if self.mesh is None:
+            return self._fn(self.g_params, {k: jnp.asarray(v) for k, v in batch.items()})
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = int(np.asarray(batch["A"]).shape[0])
+        nd = self.mesh.shape["data"]
+        pad = (-n) % nd
+        dev = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if pad:
+                v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+            sh = NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1))))
+            dev[k] = jax.device_put(jnp.asarray(v), sh)
+        out = self._fn(self.g_params, dev)
+        return jax.tree.map(lambda x: x[:n], out) if pad else out
 
     def run_test_set(
         self, batches, out_dir: str, save_spectra: bool = False,
