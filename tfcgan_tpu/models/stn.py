@@ -85,6 +85,23 @@ class AffineSTN(nn.Module):
         ).astype(src.dtype)
 
 
+def _dense_warp(img, grid, fast: bool):
+    """bilinear/zeros/align_corners=False sample, via the Pallas one-hot
+    matmul kernel on TPU (``ops/pallas_kernels/gridsample.py``; XLA's TPU
+    gather costs ~250x the tensor bytes — tools/cost_nemar.py) or the
+    torch-exact XLA path."""
+    if fast:
+        from tfcgan_tpu.ops.pallas_kernels import grid_sample_dense
+
+        return grid_sample_dense(
+            img, grid, mode="bilinear", padding_mode="zeros",
+            align_corners=False,
+        ).astype(img.dtype)
+    return grid_sample(
+        img, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+    ).astype(img.dtype)
+
+
 class CNNAffineSTN(nn.Module):
     """NeMAR AffineNetwork/AffineSTN ('A' config): returns (warped list, reg)."""
 
@@ -92,6 +109,7 @@ class CNNAffineSTN(nn.Module):
     nf0: int = 32
     max_nf: int = 256
     dtype: jnp.dtype = jnp.float32
+    fast_warp: bool = True
 
     @nn.compact
     def __call__(
@@ -122,10 +140,7 @@ class CNNAffineSTN(nn.Module):
         for img in apply_on:
             n, h_, w_, _ = img.shape
             grid = affine_grid(theta, (n, h_, w_), align_corners=False)
-            warped.append(
-                grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
-                            align_corners=False).astype(img.dtype)
-            )
+            warped.append(_dense_warp(img, grid, self.fast_warp))
         reg = jnp.mean(jnp.abs(dtheta.astype(jnp.float32)))
         return warped, reg
 
@@ -157,6 +172,7 @@ class DeformableSTN(nn.Module):
     res_blocks: int = 3
     alpha: float = 0.0  # bilateral weighting on the smoothness loss
     dtype: jnp.dtype = jnp.float32
+    fast_warp: bool = True
 
     @nn.compact
     def __call__(
@@ -204,11 +220,17 @@ class DeformableSTN(nn.Module):
         grid = base + offset
         if apply_on is None:
             apply_on = [img_a]
-        warped = [
-            grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
-                        align_corners=False).astype(img.dtype)
-            for img in apply_on
-        ]
+        # one warp for all apply-targets: same grid -> concat channels so the
+        # kernel's one-hot weights and matmul passes are built once
+        stacked = jnp.concatenate(
+            [img.astype(jnp.float32) for img in apply_on], axis=-1
+        )
+        wall = _dense_warp(stacked, grid, self.fast_warp)
+        warped, c0 = [], 0
+        for img in apply_on:
+            c1 = c0 + img.shape[-1]
+            warped.append(wall[..., c0:c1].astype(img.dtype))
+            c0 = c1
         reg = smoothness_loss(offset, img_b, alpha=self.alpha)
         return warped, reg
 

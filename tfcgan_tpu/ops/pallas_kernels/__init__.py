@@ -10,3 +10,4 @@ Measured motivation (tools/microbench.py + tools/profile_step.py, TPU v5e):
 
 from tfcgan_tpu.ops.pallas_kernels.resample import resample_lanes, warp_affine_separable
 from tfcgan_tpu.ops.pallas_kernels.blurpool import blur_pool_fast, blur_pool_pallas
+from tfcgan_tpu.ops.pallas_kernels.gridsample import grid_sample_dense

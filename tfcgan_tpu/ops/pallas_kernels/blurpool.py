@@ -38,6 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tfcgan_tpu.ops.pallas_kernels.dispatch import default_interpret
+
 _A4 = np.array([1.0, 3.0, 3.0, 1.0])
 _K1 = (_A4 / _A4.sum()).astype(np.float32)  # separable 1-D taps, sum 1
 _PAD_L, _PAD_R, _F = 1, 2, 4
@@ -120,7 +122,7 @@ def _blur_pool_fwd_impl(x: jax.Array, stride: int) -> jax.Array:
     idx = _fwd_halo_indices(h_orig, stride, ht, t_tiles)
     halo = jnp.take(x[:, :h_orig], jnp.asarray(idx.reshape(-1)), axis=1)
     halo = halo.reshape(n, t_tiles, 1 + n_after, w, c)
-    interpret = jax.default_backend() == "cpu"
+    interpret = default_interpret()
     return pl.pallas_call(
         functools.partial(_fwd_kernel, s=stride, ht=ht, w=w, wo=wo,
                           n_after=n_after),
@@ -228,7 +230,7 @@ def _blur_pool_bwd_impl(dy: jax.Array, stride: int, h: int, w: int) -> jax.Array
     t_tiles = ho // ht
     n_before = 3 - stride
     halo = _bwd_halo(dy, ht, t_tiles, n_before)
-    interpret = jax.default_backend() == "cpu"
+    interpret = default_interpret()
     dx_eff = pl.pallas_call(
         functools.partial(_bwd_kernel, s=stride, ht=ht, wo=wo, w=w,
                           n_before=n_before),

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tfcgan_tpu.ops.pallas_kernels.dispatch import default_interpret
+
 
 # ------------------------------------------------------------ cubic kernels
 _A = -0.75
@@ -198,7 +200,7 @@ def _call_rowwise(kernel, out_shape, x, p, q, *extra):
     w_out = out_shape[1]
     wp = max(-(-w_in // 128) * 128, -(-w_out // 128) * 128)
     rp = -(-r // 8) * 8
-    interpret = jax.default_backend() == "cpu"
+    interpret = default_interpret()
 
     x = jnp.pad(x, ((0, rp - r), (0, wp - w_in)))
     p = jnp.pad(p.reshape(-1, 1), ((0, rp - r), (0, 0)), constant_values=1.0)

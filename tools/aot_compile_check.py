@@ -9,6 +9,7 @@ Usage: [B=128] [EXP=fft_glo] [N_DEV=1|8] python tools/aot_compile_check.py
 """
 import os, sys, time
 sys.path.insert(0, "/root/repo")
+os.environ["TFCGAN_PALLAS_INTERPRET"] = "0"  # real Mosaic lowering, not interpret emulation
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
