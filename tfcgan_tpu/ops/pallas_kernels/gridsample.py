@@ -93,17 +93,24 @@ def _mm_t(a, b):  # (M, K) @ (N, K)ᵀ -> (M, N)
     )
 
 
+_RB = 8  # output rows per kernel invocation (sublane-aligned block height)
+
+
 def _fwd_kernel(x_ref, iy_ref, ix_ref, out_ref, *, h, w, c, border):
     ximg = x_ref[0]  # (Hp, C*Wp) fp32
     wp = ximg.shape[1] // c
-    wxt, wyt, _, _ = _onehots(
-        (ximg.shape[0], wp), iy_ref[0], ix_ref[0], h, w, border
-    )
-    outs = []
-    for ci in range(c):
-        tmp = _mm(ximg[:, ci * wp : (ci + 1) * wp], wxt)  # (Hp, Wgp)
-        outs.append(jnp.sum(wyt * tmp, axis=0, keepdims=True))
-    out_ref[0] = jnp.concatenate(outs, axis=1)
+    rows = []
+    for ri in range(_RB):
+        wxt, wyt, _, _ = _onehots(
+            (ximg.shape[0], wp),
+            iy_ref[0, ri : ri + 1], ix_ref[0, ri : ri + 1], h, w, border,
+        )
+        outs = []
+        for ci in range(c):
+            tmp = _mm(ximg[:, ci * wp : (ci + 1) * wp], wxt)  # (Hp, Wgp)
+            outs.append(jnp.sum(wyt * tmp, axis=0, keepdims=True))
+        rows.append(jnp.concatenate(outs, axis=1))
+    out_ref[0] = jnp.concatenate(rows, axis=0)
 
 
 def _bwd_kernel(
@@ -111,24 +118,31 @@ def _bwd_kernel(
 ):
     r = pl.program_id(1)
     ximg = x_ref[0]
+    hp = ximg.shape[0]
     wp = ximg.shape[1] // c
     wgp = ix_ref.shape[2]
-    wxt, wyt, dwxt, dwyt = _onehots(
-        (ximg.shape[0], wp), iy_ref[0], ix_ref[0], h, w, border
-    )
-    g = g_ref[0]  # (1, C*Wgp)
-    ty_acc = jnp.zeros((1, wgp), jnp.float32)
-    tx_acc = jnp.zeros((1, wgp), jnp.float32)
-    xbar_parts = []
-    for ci in range(c):
-        xc = ximg[:, ci * wp : (ci + 1) * wp]
-        gc = g[:, ci * wgp : (ci + 1) * wgp]
-        tmp = _mm(xc, wxt)   # fwd x-resample (recomputed, stays in VMEM)
-        xd = _mm(xc, dwxt)   # d tmp / d tx
-        ty_acc = ty_acc + jnp.sum(dwyt * tmp, axis=0, keepdims=True) * gc
-        tx_acc = tx_acc + jnp.sum(wyt * xd, axis=0, keepdims=True) * gc
-        xbar_parts.append(_mm_t(wyt * gc, wxt))  # (Hp, Wp)
-    xb = jnp.concatenate(xbar_parts, axis=1)
+    g = g_ref[0]  # (RB, C*Wgp)
+    xb = jnp.zeros((hp, c * wp), jnp.float32)
+    ty_rows, tx_rows = [], []
+    for ri in range(_RB):
+        wxt, wyt, dwxt, dwyt = _onehots(
+            (hp, wp),
+            iy_ref[0, ri : ri + 1], ix_ref[0, ri : ri + 1], h, w, border,
+        )
+        ty_acc = jnp.zeros((1, wgp), jnp.float32)
+        tx_acc = jnp.zeros((1, wgp), jnp.float32)
+        xbar_parts = []
+        for ci in range(c):
+            xc = ximg[:, ci * wp : (ci + 1) * wp]
+            gc = g[ri : ri + 1, ci * wgp : (ci + 1) * wgp]
+            tmp = _mm(xc, wxt)   # fwd x-resample (recomputed, stays in VMEM)
+            xd = _mm(xc, dwxt)   # d tmp / d tx
+            ty_acc = ty_acc + jnp.sum(dwyt * tmp, axis=0, keepdims=True) * gc
+            tx_acc = tx_acc + jnp.sum(wyt * xd, axis=0, keepdims=True) * gc
+            xbar_parts.append(_mm_t(wyt * gc, wxt))  # (Hp, Wp)
+        xb = xb + jnp.concatenate(xbar_parts, axis=1)
+        ty_rows.append(ty_acc)
+        tx_rows.append(tx_acc)
 
     @pl.when(r == 0)
     def _():
@@ -138,8 +152,8 @@ def _bwd_kernel(
     def _():
         xbar_ref[0] = xbar_ref[0] + xb
 
-    tybar_ref[0] = ty_acc
-    txbar_ref[0] = tx_acc
+    tybar_ref[0] = jnp.concatenate(ty_rows, axis=0)
+    txbar_ref[0] = jnp.concatenate(tx_rows, axis=0)
 
 
 def _pad_lanes(n: int) -> int:
@@ -148,8 +162,8 @@ def _pad_lanes(n: int) -> int:
 
 def _specs(n_grid, hp, cwp, wgp, c):
     ximg_spec = pl.BlockSpec((1, hp, cwp), lambda n, r: (n, 0, 0), memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, 1, wgp), lambda n, r: (n, r, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, c * wgp), lambda n, r: (n, r, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, _RB, wgp), lambda n, r: (n, r, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, _RB, c * wgp), lambda n, r: (n, r, 0), memory_space=pltpu.VMEM)
     return ximg_spec, row_spec, out_spec
 
 
@@ -164,7 +178,7 @@ def _sample_padded(ximg, iy, ix, h, w, c, border, interpret):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, c=c, border=border),
         out_shape=jax.ShapeDtypeStruct((n, hg, c * wgp), jnp.float32),
-        grid=(n, hg),
+        grid=(n, hg // _RB),
         in_specs=[ximg_spec, row_spec, row_spec],
         out_specs=out_spec,
         interpret=interpret,
@@ -187,7 +201,7 @@ def _sp_bwd(h, w, c, border, interpret, res, g):
             jax.ShapeDtypeStruct((n, hg, wgp), jnp.float32),
             jax.ShapeDtypeStruct((n, hg, wgp), jnp.float32),
         ],
-        grid=(n, hg),
+        grid=(n, hg // _RB),
         in_specs=[ximg_spec, row_spec, row_spec, out_spec],
         out_specs=[ximg_spec, row_spec, row_spec],
         interpret=interpret,
@@ -203,15 +217,18 @@ def _sample_pix(inp, iy, ix, border: bool, interpret: bool):
     n, h, w, c = inp.shape
     _, hg, wg = iy.shape
     wp, wgp, hp = _pad_lanes(w), _pad_lanes(wg), -(-h // 8) * 8
+    hgp = -(-hg // _RB) * _RB
     ximg = jnp.transpose(inp.astype(jnp.float32), (0, 1, 3, 2))  # (N, H, C, W)
     ximg = jnp.pad(ximg, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
     ximg = ximg.reshape(n, hp, c * wp)
-    iyp = jnp.pad(iy.astype(jnp.float32), ((0, 0), (0, 0), (0, wgp - wg)),
-                  constant_values=-2.0)
-    ixp = jnp.pad(ix.astype(jnp.float32), ((0, 0), (0, 0), (0, wgp - wg)),
-                  constant_values=-2.0)
+    # pad rows/lanes carry coord -2 (off-image); their outputs are sliced off
+    # and their cotangents are zero, so xbar sees no pad contribution.
+    iyp = jnp.pad(iy.astype(jnp.float32),
+                  ((0, 0), (0, hgp - hg), (0, wgp - wg)), constant_values=-2.0)
+    ixp = jnp.pad(ix.astype(jnp.float32),
+                  ((0, 0), (0, hgp - hg), (0, wgp - wg)), constant_values=-2.0)
     out = _sample_padded(ximg, iyp, ixp, h, w, c, border, interpret)
-    out = out.reshape(n, hg, c, wgp)[..., :wg]
+    out = out[:, :hg].reshape(n, hg, c, wgp)[..., :wg]
     return jnp.transpose(out, (0, 1, 3, 2))  # (N, Hg, Wg, C)
 
 

@@ -71,10 +71,10 @@ def warp_only(params, batch):
 
 
 def unet_only(params, batch):
-    """Deformable UNet fwd+bwd with the grid_sample replaced by identity."""
+    """Deformable UNet fwd+bwd with the warp replaced by identity."""
     import tfcgan_tpu.models.stn as stn_mod
-    orig = stn_mod.grid_sample
-    stn_mod.grid_sample = lambda img, grid, **kw: img + 0.0 * grid.mean()
+    orig = stn_mod._dense_warp
+    stn_mod._dense_warp = lambda img, grid, fast: img + 0.0 * grid.mean()
     try:
         def f(rp):
             warped, reg = recipe.R.apply({"params": rp}, batch["A"], batch["B"],
@@ -82,19 +82,31 @@ def unet_only(params, batch):
             return sum(jnp.sum(w.astype(jnp.float32) ** 2) for w in warped) + reg
         return jax.grad(f)(params["g_params"]["R"])
     finally:
-        stn_mod.grid_sample = orig
+        stn_mod._dense_warp = orig
 
 
-def gsample_only(img, grid):
-    """Pure grid_sample fwd+bwd wrt img and grid (2 warped images)."""
+def _gsample_piece(sample_fn):
+    """Pure warp fwd+bwd wrt img and grid (2 warped images)."""
+    def piece(img, grid):
+        def f(im, gr):
+            o1 = sample_fn(im, gr)
+            o2 = sample_fn(im * 0.5, gr)
+            return (jnp.sum(o1.astype(jnp.float32) ** 2)
+                    + jnp.sum(o2.astype(jnp.float32) ** 2))
+        return jax.grad(f, argnums=(0, 1))(img, grid)
+    return piece
+
+
+def _xla_sample(im, gr):
     from tfcgan_tpu.ops.warp import grid_sample
-    def f(im, gr):
-        o1 = grid_sample(im, gr, mode="bilinear", padding_mode="zeros",
-                         align_corners=False)
-        o2 = grid_sample(im * 0.5, gr, mode="bilinear", padding_mode="zeros",
-                         align_corners=False)
-        return jnp.sum(o1.astype(jnp.float32) ** 2) + jnp.sum(o2.astype(jnp.float32) ** 2)
-    return jax.grad(f, argnums=(0, 1))(img, grid)
+    return grid_sample(im, gr, mode="bilinear", padding_mode="zeros",
+                       align_corners=False)
+
+
+def _pallas_sample(im, gr):
+    from tfcgan_tpu.ops.pallas_kernels import grid_sample_dense
+    return grid_sample_dense(im, gr, mode="bilinear", padding_mode="zeros",
+                             align_corners=False)
 
 
 def t_twice(params, batch):
@@ -111,6 +123,7 @@ grid_aval = jax.ShapeDtypeStruct((B, SIZE, SIZE, 2), jnp.float32)
 total = report("g_full (loss+grads)", g_full, params_avals, batch_avals, key_aval)
 report("R: unet+2x grid_sample", warp_only, params_avals, batch_avals)
 report("R: unet only (no warp)", unet_only, params_avals, batch_avals)
-report("2x grid_sample only", gsample_only, a_aval, grid_aval)
+report("2x grid_sample (xla gather)", _gsample_piece(_xla_sample), a_aval, grid_aval)
+report("2x grid_sample (pallas)", _gsample_piece(_pallas_sample), a_aval, grid_aval)
 report("T applied twice", t_twice, params_avals, batch_avals)
 log(f"done (g_full total {total/2**30:.1f} GiB at B={B})")
