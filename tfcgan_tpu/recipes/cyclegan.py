@@ -42,7 +42,9 @@ class CycleDiscriminator(nn.Module):
             if i > 0:
                 x = instance_norm(x)
             x = nn.leaky_relu(x, 0.2)
-        return TorchConv(1, padding=((2, 1), (2, 1)), use_bias=False,
+        # ZeroPad2d((1,0,1,0)) + Conv2d(512, 1, 4, padding=1) — bias present
+        # (torch default; unlike the TFC-GAN PatchD head, ``cyclegan.py:190``)
+        return TorchConv(1, padding=((2, 1), (2, 1)), use_bias=True,
                          name="final", dtype=self.dtype)(x)
 
 
@@ -80,8 +82,11 @@ class CycleGANRecipe:
         self.cfg = cfg
         dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         ch = cfg.data.channels
-        self.G_AB = ResNetGenerator(out_channels=ch, dtype=dt)
-        self.G_BA = ResNetGenerator(out_channels=ch, dtype=dt)
+        # ``opt.n_residual_blocks`` (default 9, ``cyclegan.py:34``); small
+        # values keep the CPU-parity tests fast
+        blocks = int(cfg.extra.get("resnet_blocks", 9))
+        self.G_AB = ResNetGenerator(out_channels=ch, num_blocks=blocks, dtype=dt)
+        self.G_BA = ResNetGenerator(out_channels=ch, num_blocks=blocks, dtype=dt)
         self.D_A = CycleDiscriminator(dtype=dt)
         self.D_B = CycleDiscriminator(dtype=dt)
         self.lambda_cyc = cfg.extra.get("lambda_cyc", 10.0)
@@ -162,5 +167,10 @@ class CycleGANRecipe:
         loss_db = 0.5 * (
             ops.lsgan_loss(db(b), 1.0) + ops.lsgan_loss(db(aux["fake_b_buf"]), 0.0)
         )
-        loss = 0.5 * (loss_da + loss_db)
-        return loss, {"loss_D": loss, "d_A": loss_da, "d_B": loss_db}
+        # The reference steps D_A and D_B with *separate* Adam optimizers on
+        # their own (real+fake)/2 losses (``cyclegan.py:274-276,415-447``).
+        # One optax Adam over the disjoint d_params tree is identical — as
+        # long as the differentiated total is the SUM, so each D sees exactly
+        # its own gradient (a 0.5× would rescale Adam's eps trajectory).
+        loss = loss_da + loss_db
+        return loss, {"loss_D": 0.5 * loss, "d_A": loss_da, "d_B": loss_db}
