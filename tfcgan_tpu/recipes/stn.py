@@ -37,14 +37,26 @@ import flax.linen as nn
 
 
 class _STNNet(AffineSTN):
-    """AffineSTN with configurable ViT patch size (64 flagship, 16 DarkVisible)."""
+    """AffineSTN with configurable ViT patch size (64 flagship, 16 DarkVisible).
+
+    ``vit_depth``/``vit_dim``/``vit_heads``/``vit_mlp`` default to the
+    reference's kornia ViT-Base (:150-165); the CPU trajectory-parity test
+    shrinks them (the per-block math is identical at any size)."""
 
     patch: int = 64
+    vit_depth: int = 12
+    vit_dim: int = 768
+    vit_heads: int = 12
+    vit_mlp: int = 3072
 
     @nn.compact
     def theta(self, img_a, img_b):
         x = jnp.concatenate([img_a, img_b], axis=-1)
-        tokens = ViT(patch_size=self.patch, dtype=self.dtype, name="vit")(x)
+        tokens = ViT(
+            patch_size=self.patch, depth=self.vit_depth, dim=self.vit_dim,
+            heads=self.vit_heads, mlp_dim=self.vit_mlp,
+            dtype=self.dtype, name="vit",
+        )(x)
         flat = tokens.reshape(tokens.shape[0], -1)
         h = nn.Dense(1024, dtype=self.dtype, name="fc1")(flat)
         h = nn.relu(h)
@@ -85,7 +97,18 @@ class STNRecipe:
         self.G2 = GeneratorUNet(out_channels=ch, dtype=dt)
         self.D1 = PatchDiscriminator(dtype=dt)
         self.D2 = PatchDiscriminator(dtype=dt)
-        self.STN = _STNNet(dtype=dt, patch=patch)
+        # extra["deterministic_g"] disables G dropout (trajectory-parity
+        # tests; mirrors the tfcgan recipe switch); extra["fast_warp"]=False
+        # selects the torch-exact gather warp over the Pallas separable one
+        self.deterministic_g = bool(cfg.extra.get("deterministic_g", False))
+        self.STN = _STNNet(
+            dtype=dt, patch=patch,
+            fast_warp=bool(cfg.extra.get("fast_warp", True)),
+            vit_depth=int(cfg.extra.get("vit_depth", 12)),
+            vit_dim=int(cfg.extra.get("vit_dim", 768)),
+            vit_heads=int(cfg.extra.get("vit_heads", 12)),
+            vit_mlp=int(cfg.extra.get("vit_mlp", 3072)),
+        )
         # "lpips" (pretrained weights via cfg.loss.lpips_weights, random init
         # otherwise) or the fixed "msrecon" anchor — random-weight LPIPS is
         # measured to collapse registration (BASELINE.md round 1), so the STN
@@ -116,15 +139,16 @@ class STNRecipe:
 
     def _forward(self, g_params, batch, rng):
         kg1, kg2, kg3 = jax.random.split(rng, 3)
+        det = self.deterministic_g
         a, b = batch["A"], batch["B"]
         fake_b = self.G1.apply({"params": g_params["G1"]}, a,
-                               deterministic=False, rngs={"dropout": kg1})
+                               deterministic=det, rngs={"dropout": kg1})
         fake_a1 = self.G2.apply({"params": g_params["G2"]}, b,
-                                deterministic=False, rngs={"dropout": kg2})
+                                deterministic=det, rngs={"dropout": kg2})
         cond = fake_b if self.stn_condition == "fake_B" else fake_a1
         warped_b = self.STN.apply({"params": g_params["STN"]}, a, cond, b)
         fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
-                                deterministic=False, rngs={"dropout": kg3})
+                                deterministic=det, rngs={"dropout": kg3})
         return fake_b, fake_a1, warped_b, fake_a2
 
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
