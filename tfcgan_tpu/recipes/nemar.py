@@ -11,9 +11,11 @@ netD = basic PatchGAN on cat(A, B). Per step (``:161-288``):
     loss_D = 0.5·λ_GAN·(real + fake_TR + fake_RT)
 
 Defaults λ_GAN=1, λ_recon=100, λ_smooth=0 (``:35-42``); gan_mode lsgan.
-Note the reference updates D *before* T/R each step — our trainer updates G
-first; with both using pre-step parameters of the other player the gradients
-are identical, only the stored-state interleaving differs by half a step.
+The reference updates D *before* T/R each step, and ``backward_T_and_R``
+re-runs netD on the fakes AFTER ``optimizer_D.step()`` — so the T/R gradient
+sees the post-update D (``:266-288``). ``update_order = "d_first"`` makes the
+trainer reproduce exactly that interleaving (verified by the lockstep
+trajectory test ``tests/test_parity_nemar.py``).
 """
 
 from __future__ import annotations
@@ -29,17 +31,25 @@ from tfcgan_tpu.models.stn import CNNAffineSTN, DeformableSTN
 
 class NeMARRecipe:
     name = "nemar"
+    update_order = "d_first"  # optimizer_D.step() precedes backward_T_and_R
 
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
         dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         ch = cfg.data.channels
-        self.T = ResNetGenerator(out_channels=ch, dtype=dt)
+        # extra["resnet_blocks"] (reference --ngf era default 9) and
+        # extra["fast_warp"]=False (torch-exact gather instead of the Pallas
+        # dense kernel) exist for the CPU trajectory-parity tests
+        blocks = int(cfg.extra.get("resnet_blocks", 9))
+        fast = bool(cfg.extra.get("fast_warp", True))
+        self.T = ResNetGenerator(out_channels=ch, num_blocks=blocks, dtype=dt)
         stn_type = cfg.extra.get("stn_type", "deformable")
         if stn_type == "affine":
-            self.R = CNNAffineSTN(dtype=dt)
+            self.R = CNNAffineSTN(dtype=dt, fast_warp=fast)
         else:
-            self.R = DeformableSTN(alpha=cfg.extra.get("stn_alpha", 0.0), dtype=dt)
+            self.R = DeformableSTN(
+                alpha=cfg.extra.get("stn_alpha", 0.0), dtype=dt, fast_warp=fast
+            )
         self.D = NLayerDiscriminator(dtype=dt)
         self.lambda_gan = cfg.extra.get("lambda_GAN", 1.0)
         self.lambda_recon = cfg.extra.get("lambda_recon", 100.0)
@@ -66,6 +76,16 @@ class NeMARRecipe:
             "d_params": d_params,
             "spectral": {},
             "frozen": {},
+        }
+
+    def d_aux(self, g_params, batch, rng):
+        """Detached fakes for the D-first phase (reference ``backward_D``
+        detaches the single forward's outputs, ``nemar_model.py:217-264``)."""
+        fake_tr_b, fake_rt_b, reg_a, _ = self._forward(g_params, batch)
+        return {
+            "fake_tr_b": jax.lax.stop_gradient(fake_tr_b),
+            "fake_rt_b": jax.lax.stop_gradient(fake_rt_b),
+            "reg_a": jax.lax.stop_gradient(reg_a),
         }
 
     def _forward(self, g_params, batch):

@@ -44,6 +44,14 @@ def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -
     g_tx, d_tx = make_optimizers(cfg)
     import optax
 
+    # NeMAR updates D *before* T/R, and its T/R backward then queries the
+    # UPDATED D (``nemar/models/nemar_model.py:266-288``: optimizer_D.step()
+    # precedes backward_T_and_R, which re-runs netD on the fakes). Recipes
+    # declare ``update_order = "d_first"`` (+ a ``d_aux`` method producing the
+    # detached fakes from the pre-update G) to get that interleaving; every
+    # other reference family runs G first on the pre-update D.
+    d_first = getattr(recipe, "update_order", "g_first") == "d_first"
+
     def train_step(state: GANTrainState, batch) -> tuple[GANTrainState, dict]:
         step_rng = jax.random.fold_in(state.rng, state.step)
         g_rng, d_rng = jax.random.split(step_rng)
@@ -51,24 +59,51 @@ def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -
         # one spectral power iteration per step (torch runs one per D forward)
         spectral = spectral_power_iteration(state.d_params, state.spectral)
 
-        # ---- G phase
-        (g_val, (aux, g_metrics)), g_grads = jax.value_and_grad(
-            recipe.g_loss, has_aux=True
-        )(state.g_params, state.d_params, spectral, state.frozen, batch, g_rng)
-        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
-
-        # recipe-owned state hook (e.g. replay-buffer push/sample) before D
         extra = state.extra
-        if hasattr(recipe, "pre_d"):
-            extra, aux = recipe.pre_d(extra, aux, d_rng)
+        if d_first:
+            # ---- D phase on detached fakes from the pre-update G
+            aux = recipe.d_aux(state.g_params, batch, g_rng)
+            if hasattr(recipe, "pre_d"):
+                extra, aux = recipe.pre_d(extra, aux, d_rng)
+            (d_val, d_metrics), d_grads = jax.value_and_grad(
+                recipe.d_loss, has_aux=True
+            )(state.d_params, spectral, aux, batch, d_rng)
+            d_updates, d_opt_state = d_tx.update(
+                d_grads, state.d_opt_state, state.d_params
+            )
+            d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---- D phase (uses pre-update G's fake via aux, like the reference)
-        (d_val, d_metrics), d_grads = jax.value_and_grad(
-            recipe.d_loss, has_aux=True
-        )(state.d_params, spectral, aux, batch, d_rng)
-        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            # ---- G phase against the UPDATED D (same g_rng: the forward in
+            # g_loss recomputes d_aux's fakes bit-identically)
+            (g_val, (_, g_metrics)), g_grads = jax.value_and_grad(
+                recipe.g_loss, has_aux=True
+            )(state.g_params, d_params, spectral, state.frozen, batch, g_rng)
+            g_updates, g_opt_state = g_tx.update(
+                g_grads, state.g_opt_state, state.g_params
+            )
+            g_params = optax.apply_updates(state.g_params, g_updates)
+        else:
+            # ---- G phase
+            (g_val, (aux, g_metrics)), g_grads = jax.value_and_grad(
+                recipe.g_loss, has_aux=True
+            )(state.g_params, state.d_params, spectral, state.frozen, batch, g_rng)
+            g_updates, g_opt_state = g_tx.update(
+                g_grads, state.g_opt_state, state.g_params
+            )
+            g_params = optax.apply_updates(state.g_params, g_updates)
+
+            # recipe-owned state hook (e.g. replay-buffer push/sample) before D
+            if hasattr(recipe, "pre_d"):
+                extra, aux = recipe.pre_d(extra, aux, d_rng)
+
+            # ---- D phase (uses pre-update G's fake via aux, like the reference)
+            (d_val, d_metrics), d_grads = jax.value_and_grad(
+                recipe.d_loss, has_aux=True
+            )(state.d_params, spectral, aux, batch, d_rng)
+            d_updates, d_opt_state = d_tx.update(
+                d_grads, state.d_opt_state, state.d_params
+            )
+            d_params = optax.apply_updates(state.d_params, d_updates)
 
         metrics = {**g_metrics, **d_metrics}
         new_state = state.replace(
