@@ -223,21 +223,52 @@ class TestBaselineRecipes:
 
     def test_thermalgan_step(self):
         cfg = get_experiment("thermalgan")
-        # G1 is a 7-level UNet: needs >=128 input so the bottleneck stays >=1
+        # G2 is an 8-level UNet: needs >=256 input (smaller leaves a 0x0
+        # bottleneck — GeneratorG2 rejects it)
         cfg = cfg.replace(
-            data=cfg.data.__class__(batch_size=8, image_size=128),
+            data=cfg.data.__class__(batch_size=2, image_size=256),
             train=cfg.train.__class__(compute_dtype="float32"),
+            mesh=cfg.mesh.__class__(num_devices=2),  # batch 2 can't split 8 ways
         )
         recipe = build_recipe(cfg)
         trainer = Trainer(cfg, recipe)
-        batch = synthetic_batch(batch_size=8, image_size=128)
+        batch = synthetic_batch(batch_size=2, image_size=256)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         step = trainer.compiled_step()
         from tfcgan_tpu.parallel.mesh import shard_batch
 
         state, metrics = step(state, shard_batch(batch, trainer.mesh))
-        for k in ("loss_G", "loss_D", "g_kl", "g_latent", "g_pixel_pix"):
+        for k in ("loss_G", "loss_D", "g_kl", "g_latent", "g_pixel_pix",
+                  "g_vae_gan", "d_pix"):
             assert np.isfinite(float(metrics[k])), k
+        # named noAMP config: the reference's torch.tensor() leaf rebuild
+        # severs the stage-1 adversarial graph -> D_VAE stays frozen
+        assert recipe.d_vae_mode == "detached"
+        assert "D_vae" in state.frozen and "D_vae" not in state.d_params
+
+    def test_thermalgan_multi_l1_trains_d_vae(self):
+        """The bug-fixed cVAE-GAN mode: gradients flow, D_VAE updates."""
+        cfg = get_experiment("thermalgan")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=2, image_size=256),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            mesh=cfg.mesh.__class__(num_devices=2),
+            extra={**cfg.extra, "d_vae_mode": "multi_l1"},
+        )
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe)
+        batch = synthetic_batch(batch_size=2, image_size=256)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        before = jax.device_get(
+            state.d_params["D_vae"]["disc_0"]["conv0"]["kernel"])
+        step = trainer.compiled_step()
+        from tfcgan_tpu.parallel.mesh import shard_batch
+
+        state, metrics = step(state, shard_batch(batch, trainer.mesh))
+        assert np.isfinite(float(metrics["d_vae"]))
+        after = jax.device_get(
+            state.d_params["D_vae"]["disc_0"]["conv0"]["kernel"])
+        assert np.abs(after - before).max() > 0
 
     def test_nemar_step(self):
         cfg = get_experiment("nemar")
@@ -542,17 +573,22 @@ class TestDPNumericalEquivalence:
 class TestThermalGANBN:
     def test_one_step_thermalgan2_variant(self):
         cfg = get_experiment("thermalgan_bn")
-        cfg = cfg.replace(  # 7-level UNet needs >=128 input
-            data=cfg.data.__class__(batch_size=8, image_size=128),
+        cfg = cfg.replace(  # 8-level G2 needs >=256 input
+            data=cfg.data.__class__(batch_size=2, image_size=256),
             train=cfg.train.__class__(compute_dtype="float32"),
+            mesh=cfg.mesh.__class__(num_devices=2),
         )
         recipe = build_recipe(cfg)
         assert recipe.G1.norm == "batch"
+        # ThermalGAN2: single MSE stage-1 D with live grads, raw temps
+        assert recipe.d_vae_mode == "single_mse" and recipe.bn_variant
         trainer = Trainer(cfg, recipe)
-        batch = synthetic_batch(batch_size=8, image_size=128)
+        batch = synthetic_batch(batch_size=2, image_size=256)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        assert "D_vae" in state.d_params
         state, metrics = step_once(trainer, state, batch)
         assert np.isfinite(float(metrics["g_ge"]))
+        assert np.isfinite(float(metrics["d_vae"]))
         assert np.isfinite(float(metrics["loss_D"]))
 
 

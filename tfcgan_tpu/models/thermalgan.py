@@ -188,6 +188,14 @@ class GeneratorG2(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dt = self.dtype
+        if x.shape[1] < 256 or x.shape[2] < 256:
+            # 8 stride-2 downs: anything smaller leaves a 0x0 bottleneck that
+            # XLA silently tolerates (degenerate all-bias up1) but torch
+            # rejects — the reference only ever runs this net at 256^2
+            raise ValueError(
+                f"GeneratorG2 needs >=256^2 inputs (8 downsamples), got "
+                f"{x.shape[1]}x{x.shape[2]}"
+            )
         plan = [(64, False, 0.0), (128, True, 0.0), (256, True, 0.0),
                 (512, True, 0.5), (512, True, 0.5), (512, True, 0.5),
                 (512, True, 0.5), (512, False, 0.5)]
@@ -207,6 +215,26 @@ class GeneratorG2(nn.Module):
         u = TorchConv(self.out_channels, padding=((2, 1), (2, 1)), dtype=dt,
                       name="final")(u)
         return jnp.tanh(u)
+
+
+class VAEDiscriminator2(nn.Module):
+    """ThermalGAN2's stage-1 D: a single pix2pix-style PatchGAN on the
+    segmentation image alone (``ThermalGAN2.py:210-240`` — the 3-scale
+    pyramid "was leading to numerical instability, so changed it to the
+    pix2pix D"): 4 k4/s2 conv blocks (biased; IN on blocks 1-3) + k4/p1
+    unbiased head, scored with MSE."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        for i, f in enumerate((64, 128, 256, 512)):
+            x = TorchConv(f, strides=(2, 2), name=f"conv{i}", dtype=self.dtype)(x)
+            if i > 0:
+                x = instance_norm(x)
+            x = nn.leaky_relu(x, 0.2)
+        return TorchConv(1, use_bias=False, name="final", dtype=self.dtype)(x)
 
 
 class DiscriminatorPix(nn.Module):

@@ -16,8 +16,8 @@ from tfcgan_tpu.train.trainer import Trainer
 MATRIX = [
     ("fft_glo", 256, 32, "loss_G"),
     ("stn_newmodel3", 256, 16, "g_morph"),
-    ("thermalgan", 128, 16, "g_kl"),
-    ("thermalgan_bn", 128, 16, "g_kl"),
+    ("thermalgan", 256, 8, "g_kl"),  # G2's 8 downs require 256^2
+    ("thermalgan_bn", 256, 8, "g_kl"),
     ("cyclegan", 128, 16, "loss_G"),
     ("nemar", 128, 16, "loss_G"),
     ("tfc_diff", 128, 16, "g_noise_mse"),
