@@ -414,49 +414,65 @@ class TestConvertLPIPS:
         assert got == pytest.approx(want, rel=2e-4), (got, want)
 
 
+def torch_resnet18_replica():
+    """torch resnet18 *feature trunk* with torchvision state_dict naming
+    (torchvision itself is not installed here; the graph is resnet18's
+    exactly). Forward returns the 512-d pooled features — shared by the
+    converter parity test below and the debiased-family lockstep test
+    (tests/test_parity_debiased.py)."""
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            idt = x if self.downsample is None else self.downsample(x)
+            return F.relu(out + idt)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.layer1 = nn.Sequential(Block(64, 64, 1), Block(64, 64, 1))
+            self.layer2 = nn.Sequential(Block(64, 128, 2), Block(128, 128, 1))
+            self.layer3 = nn.Sequential(Block(128, 256, 2), Block(256, 256, 1))
+            self.layer4 = nn.Sequential(Block(256, 512, 2), Block(512, 512, 1))
+
+        def forward(self, x):
+            h = F.max_pool2d(F.relu(self.bn1(self.conv1(x))), 3, 2, 1)
+            for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+                h = l(h)
+            return h.mean(dim=(2, 3))
+
+    return Net()
+
+
+def randomize_bn_stats(net):
+    """Non-trivial eval-mode BatchNorm statistics (so folding is exercised)."""
+    for m in net.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0.0, 0.2)
+
+
 class TestResNet18Converter:
-    """tools/convert_resnet.py BN-folding parity against a torch resnet18
-    replica with torchvision state_dict naming (torchvision itself is not
-    installed here; the graph is resnet18's exactly)."""
-
-    def _torch_resnet18(self):
-        class Block(nn.Module):
-            def __init__(self, cin, cout, stride):
-                super().__init__()
-                self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-                self.bn1 = nn.BatchNorm2d(cout)
-                self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-                self.bn2 = nn.BatchNorm2d(cout)
-                self.downsample = None
-                if stride != 1 or cin != cout:
-                    self.downsample = nn.Sequential(
-                        nn.Conv2d(cin, cout, 1, stride, bias=False),
-                        nn.BatchNorm2d(cout),
-                    )
-
-            def forward(self, x):
-                out = F.relu(self.bn1(self.conv1(x)))
-                out = self.bn2(self.conv2(out))
-                idt = x if self.downsample is None else self.downsample(x)
-                return F.relu(out + idt)
-
-        class Net(nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-                self.bn1 = nn.BatchNorm2d(64)
-                self.layer1 = nn.Sequential(Block(64, 64, 1), Block(64, 64, 1))
-                self.layer2 = nn.Sequential(Block(64, 128, 2), Block(128, 128, 1))
-                self.layer3 = nn.Sequential(Block(128, 256, 2), Block(256, 256, 1))
-                self.layer4 = nn.Sequential(Block(256, 512, 2), Block(512, 512, 1))
-
-            def forward(self, x):
-                h = F.max_pool2d(F.relu(self.bn1(self.conv1(x))), 3, 2, 1)
-                for l in (self.layer1, self.layer2, self.layer3, self.layer4):
-                    h = l(h)
-                return h.mean(dim=(2, 3))
-
-        return Net()
+    """tools/convert_resnet.py BN-folding parity against the replica above."""
 
     def test_folded_backbone_matches_torch_eval(self):
         import sys, os
@@ -465,15 +481,8 @@ class TestResNet18Converter:
         from flax import serialization
 
         torch.manual_seed(0)
-        net = self._torch_resnet18()
-        # non-trivial eval-mode BN statistics
-        for m in net.modules():
-            if isinstance(m, nn.BatchNorm2d):
-                with torch.no_grad():
-                    m.running_mean.normal_(0.0, 0.5)
-                    m.running_var.uniform_(0.5, 2.0)
-                    m.weight.normal_(1.0, 0.2)
-                    m.bias.normal_(0.0, 0.2)
+        net = torch_resnet18_replica()
+        randomize_bn_stats(net)
         net.eval()
 
         sd = {k: v.numpy() for k, v in net.state_dict().items()}

@@ -187,7 +187,10 @@ register(ExperimentConfig(name="fft_patch_debiased_v5",
     loss=_loss(patch_grid=2, triplet_weight=1.0, debias_version=5, **_DB)))
 _DB_HALF = dict(fft_mode="patch", fft_grid=2, conditional=True,
                 adv_weight=0.5, lpips_weight=0.5, ce_weight=0.5,
-                temp_weight=0.5, fft_weight=0.0005,
+                temp_weight=0.5, fft_weight=0.002,
+                # V6/V7's fft_loss SUMS the 4 per-patch L1s (``_V7.py:411-413``
+                # — V1–V3 ¼-average them) and loss_G halves it with 0.001
+                # inside: on our merged-mean form that is 0.5·0.001·4 = 0.002
                 patch_grid=2, triplet_weight=0.5)
 register(ExperimentConfig(name="fft_patch_debiased_v6",
     loss=_loss(debias_version=6, **_DB_HALF)))

@@ -346,6 +346,10 @@ class TFCGANRecipe:
 
         metrics = {}
         aux_extra = {}
+        # extra["deterministic_g"] disables G dropout inside the train step —
+        # used by the torch lockstep trajectory-parity tests, where
+        # cross-framework dropout masks cannot be aligned
+        det = bool(self.cfg.extra.get("deterministic_g", False))
         if cfg.conditional:
             ax = self.axes
             lab3 = batch["LAB3"]
@@ -365,14 +369,10 @@ class TFCGANRecipe:
                 aux_extra["gen_lab3"] = g3
             else:
                 g3 = lab3
-            fake_b = self._gen(g_params, batch, k_drop, labels=g3)
+            fake_b = self._gen(g_params, batch, k_drop, deterministic=det, labels=g3)
             pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
             pred_real, _ = self._disc(d_params, spectral, b, a)
         else:
-            # extra["deterministic_g"] disables G dropout inside the train
-            # step — used by the torch lockstep trajectory-parity test, where
-            # cross-framework dropout masks cannot be aligned
-            det = bool(self.cfg.extra.get("deterministic_g", False))
             fake_b = self._gen(g_params, batch, k_drop, deterministic=det)
             pred_fake = self._disc(d_params, spectral, fake_b, a)
             pred_real = self._disc(d_params, spectral, b, a)
