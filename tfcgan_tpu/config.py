@@ -160,9 +160,22 @@ register(ExperimentConfig(name="fft_glo", loss=_loss(fft_mode="global", patch_gr
 register(ExperimentConfig(name="fft_glo_16p", loss=_loss(fft_mode="global", patch_grid=4)))
 register(ExperimentConfig(name="fft_patch_4", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2)))
 register(ExperimentConfig(name="fft_patch_16", loss=_loss(fft_mode="patch", fft_grid=4, patch_grid=4)))
-register(ExperimentConfig(name="original_16p", loss=_loss(fft_mode="off", patch_grid=4)))
-register(ExperimentConfig(name="fft_patch_region", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="l1")))
-register(ExperimentConfig(name="fft_patch_region_kl", loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2, region_fft="kl")))
+# original_16P / the whole favtgan lineage weight every G term 1.0
+# (``TFCGAN_original_16P.py:461``: G = adv + pix + triplet + temp)
+_FAV = dict(fft_mode="off", adv_weight=1.0, lpips_weight=1.0, temp_weight=1.0)
+register(ExperimentConfig(name="original_16p", loss=_loss(patch_grid=4, **_FAV)))
+# withregion_FFT (``:603-620``): G = ½(adv + 1e-4·FFTsum + 1e-4·REG + patch¼
+# + temp + pix). fft_loss SUMS the 4 per-patch L1s -> ½·1e-4·4 = 2e-4 on our
+# merged-mean form; the regional term's form matches ours exactly -> ½·1e-4.
+register(ExperimentConfig(name="fft_patch_region", loss=_loss(
+    fft_mode="patch", fft_grid=2, fft_weight=2e-4, patch_grid=2,
+    triplet_weight=0.5, region_fft="l1", region_fft_weight=5e-5)))
+# withregion_FFT_KL (``:620-636``): G = ½(adv + 1e-4·[1e-2·REG_kl] + patch¼
+# + temp + pix) -> region weight ½·1e-6; the plain patch FFT is computed but
+# NEVER added to loss_G (dead code) -> fft_mode off here.
+register(ExperimentConfig(name="fft_patch_region_kl", loss=_loss(
+    fft_mode="off", patch_grid=2, triplet_weight=0.5,
+    region_fft="kl", region_fft_weight=5e-7)))
 # Debiased family V1–V7. Weight bundles follow each script's loss_G line:
 # V1 ``debiased.py:572``  G = adv + lpips + patch_trip + label + 0.10·temp + 0.001·FFT
 # V2 ``_V2.py:582``       G = adv + label + lpips + 0.10·temp + 0.001·FFT
@@ -202,11 +215,13 @@ register(ExperimentConfig(name="fft_patch_debiased",
 register(ExperimentConfig(
     name="fft_patch_mask",
     loss=_loss(fft_mode="patch", fft_grid=2, patch_grid=2,
-               triplet_weight=0.5, fft_weight=0.001, use_mask=True),
+               # experiment.py's fft_loss also SUMS the 4 per-patch L1s
+               # (``:335-337``) -> 0.001·4 on our merged-mean form
+               triplet_weight=0.5, fft_weight=0.004, use_mask=True),
 ))
 # favtgan lineage (TFC-GAN-FFT/src/) — pre-FFT base models and ablations
-register(ExperimentConfig(name="triptemp_base", loss=_loss(fft_mode="off", patch_grid=2)))
-register(ExperimentConfig(name="triptemp_16p", loss=_loss(fft_mode="off", patch_grid=4)))
+register(ExperimentConfig(name="triptemp_base", loss=_loss(patch_grid=2, **_FAV)))
+register(ExperimentConfig(name="triptemp_16p", loss=_loss(patch_grid=4, **_FAV)))
 register(ExperimentConfig(
     name="favtgan_l1",
     loss=_loss(fft_mode="off", patch_grid=2, temp_mode="l1",
@@ -244,9 +259,9 @@ register(ExperimentConfig(
                temp_weight=1.0),
     data=DataConfig(extra_roots=("<second-dataset-root>",)),
 ))
-register(ExperimentConfig(name="ablation_nopatch", loss=_loss(fft_mode="off", patch_grid=0)))
-register(ExperimentConfig(name="ablation_noperc", loss=_loss(fft_mode="off", patch_grid=4, use_lpips=False)))
-register(ExperimentConfig(name="ablation_notemp", loss=_loss(fft_mode="off", patch_grid=4, use_temp=False)))
+register(ExperimentConfig(name="ablation_nopatch", loss=_loss(patch_grid=0, **_FAV)))
+register(ExperimentConfig(name="ablation_noperc", loss=_loss(patch_grid=4, use_lpips=False, **_FAV)))
+register(ExperimentConfig(name="ablation_notemp", loss=_loss(patch_grid=4, use_temp=False, **_FAV)))
 # STN family (TFC-STN/). perceptual="auto": LPIPS when converted weights are
 # supplied, the fixed msrecon anchor otherwise (random-weight LPIPS is noise
 # that collapses registration — BASELINE.md round-1 measurement).
