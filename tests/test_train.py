@@ -505,25 +505,32 @@ class TestLRSchedules:
 class TestSTNVariants:
     @pytest.mark.parametrize("name", ["stn_dark_visible", "stn_b2a"])
     def test_variant_one_step(self, name):
+        import dataclasses
+
         cfg = get_experiment(name)
         cfg = cfg.replace(
-            data=cfg.data.__class__(batch_size=8, image_size=64),
+            # dataclasses.replace: stn_b2a's direction="BtoA" must survive
+            data=dataclasses.replace(cfg.data, batch_size=8, image_size=64),
             train=cfg.train.__class__(compute_dtype="float32"),
         )
         recipe = build_recipe(cfg)
         if name == "stn_b2a":
-            assert recipe.use_morph is False
+            # NewModel3 structure, morph -> FFT(fake_A1, A), BtoA direction
+            assert recipe.use_morph is False and recipe.use_fft
+            assert cfg.data.direction == "BtoA"
+            assert recipe.recon_weight == 0.01 and recipe.d_head_weight == 0.25
         else:
+            # single-G2-pass variant: unweighted warp recon, unquartered D
             assert recipe.stn_condition == "fake_B" and recipe.use_fft
+            assert not recipe.use_morph
+            assert recipe.recon_weight == 1.0 and recipe.d_head_weight == 1.0
+        assert cfg.loss.fft_weight == 2.0  # reference adds UNhalved amp+pha
         trainer = Trainer(cfg, recipe)
         batch = synthetic_batch(batch_size=8, image_size=64)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         state, metrics = step_once(trainer, state, batch)
         assert np.isfinite(float(metrics["loss_G"]))
-        if name == "stn_dark_visible":
-            assert "g_fft" in metrics
-        else:
-            assert "g_morph" not in metrics
+        assert "g_fft" in metrics and "g_morph" not in metrics
 
 
 class TestDPNumericalEquivalence:

@@ -273,13 +273,18 @@ register(ExperimentConfig(
 ))
 register(ExperimentConfig(
     name="stn_dark_visible", recipe="stn", optim=OptimConfig(lr=1e-4),
-    loss=_loss(perceptual="auto"),
+    # fft_weight 2.0: the variant adds the UNhalved amp+pha FFT sum
+    # (``Eur_DarkVisible.py:700-715``) and fft_l1_loss returns ½(amp+pha)
+    loss=_loss(perceptual="auto", fft_weight=2.0),
     extra={"variant": "dark_visible"},
 ))
 register(ExperimentConfig(
     name="stn_b2a", recipe="stn", optim=OptimConfig(lr=1e-4),
-    loss=_loss(perceptual="auto"),
-    extra={"variant": "b2a", "use_morph": False},
+    loss=_loss(perceptual="auto", fft_weight=2.0),
+    # B2A trains thermal->visible: the loop swaps the loaded pair
+    # (``NewModel3_B2A.py:644-645``)
+    data=DataConfig(direction="BtoA"),
+    extra={"variant": "b2a"},
 ))
 # Baselines
 register(ExperimentConfig(

@@ -14,11 +14,19 @@ training step (SURVEY.md §3.2):
     loss_D = 0.5·(D1 relativistic(fake_B) + D2 relativistic(fake_A2)), each
              weighted 0.25 (:492-507)
 
-Variants (config ``extra``): "dark_visible" conditions the STN on (A, fake_B)
-with a patch-16 ViT and adds the global FFT loss
-(``TFCGAN_STN21_Eur_DarkVisible.py``); "b2a" disables the morphological loss
-(``TFCGAN_STN21_Original_NewModel3_B2A.py``). G1+G2+STN share one Adam,
-D1+D2 the other (:560-561) — expressed here by the g_params/d_params split.
+Variants (config ``extra["variant"]``):
+
+- "dark_visible" (``TFCGAN_STN21_Eur_DarkVisible.py``): single G2 pass
+  fake_A = G2(STN(A, fake_B; src=B)) — no fake_A1 leg — patch-16 ViT,
+  recon = UNWEIGHTED L1(warped_B, fake_B), + global FFT(fake_A, A), no
+  morph; per-head D loss is (real+fake) with no 0.25 (``:510-526,676-731``).
+- "b2a" (``TFCGAN_STN21_Original_NewModel3_B2A.py``): NewModel3 structure
+  with the pair direction swapped at load (``:644-645`` — config
+  ``data.direction="BtoA"``), morph replaced by global FFT(fake_A1, A)
+  (``:683-697``).
+
+G1+G2+STN share one Adam, D1+D2 the other (:560-561) — expressed here by
+the g_params/d_params split.
 """
 
 from __future__ import annotations
@@ -86,8 +94,17 @@ class STNRecipe:
         self.cfg = cfg
         dt = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         self.variant = cfg.extra.get("variant", "newmodel3")
-        self.use_morph = cfg.extra.get("use_morph", self.variant != "b2a")
-        self.use_fft = cfg.extra.get("use_fft", self.variant == "dark_visible")
+        # only the flagship carries the morph triplet; DarkVisible's loss_G
+        # is adv+recon+perc+FFT (``Eur_DarkVisible.py:715``) and B2A swaps
+        # morph for an FFT term (``NewModel3_B2A.py:697``)
+        self.use_morph = cfg.extra.get("use_morph", self.variant == "newmodel3")
+        self.use_fft = cfg.extra.get("use_fft", self.variant != "newmodel3")
+        # DarkVisible quirks: recon enters UNWEIGHTED (alpha2 is defined but
+        # not applied, ``:714-715``) and its per-head D loss is (real+fake)
+        # with no 0.25 (``:510-526``); NewModel3/B2A quarter each head
+        dv = self.variant == "dark_visible"
+        self.recon_weight = 1.0 if dv else 0.01
+        self.d_head_weight = 1.0 if dv else 0.25
         self.stn_condition = (
             "fake_B" if self.variant == "dark_visible" else "fake_A1"
         )
@@ -143,10 +160,16 @@ class STNRecipe:
         a, b = batch["A"], batch["B"]
         fake_b = self.G1.apply({"params": g_params["G1"]}, a,
                                deterministic=det, rngs={"dropout": kg1})
+        if self.variant == "dark_visible":
+            # single G2 pass: fake_A = G2(STN(A, fake_B; src=B)) — there is
+            # no fake_A1 = G2(B) leg in DarkVisible (``:682-687``)
+            warped_b = self.STN.apply({"params": g_params["STN"]}, a, fake_b, b)
+            fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
+                                    deterministic=det, rngs={"dropout": kg3})
+            return fake_b, None, warped_b, fake_a2
         fake_a1 = self.G2.apply({"params": g_params["G2"]}, b,
                                 deterministic=det, rngs={"dropout": kg2})
-        cond = fake_b if self.stn_condition == "fake_B" else fake_a1
-        warped_b = self.STN.apply({"params": g_params["STN"]}, a, cond, b)
+        warped_b = self.STN.apply({"params": g_params["STN"]}, a, fake_a1, b)
         fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
                                 deterministic=det, rngs={"dropout": kg3})
         return fake_b, fake_a1, warped_b, fake_a2
@@ -169,21 +192,33 @@ class STNRecipe:
             d_apply("D2", fake_a2, b), d_apply("D2", a, b), cfg.label_smooth
         )
         adv = adv1 + adv2
-        recon = jnp.mean(jnp.abs(fake_a2.astype(jnp.float32) - a))
+        if self.variant == "dark_visible":
+            # recon anchors the WARP to the G1 output, not fake_A to real_A
+            # (``Eur_DarkVisible.py:690``: L1(warped_B, fake_B))
+            recon = jnp.mean(
+                jnp.abs(warped_b.astype(jnp.float32) - fake_b.astype(jnp.float32))
+            )
+        else:
+            recon = jnp.mean(jnp.abs(fake_a2.astype(jnp.float32) - a))
         if self.lpips is not None:
             perc = jnp.mean(self.lpips.apply(frozen["lpips"], fake_a2, a)) + jnp.mean(
                 self.lpips.apply(frozen["lpips"], fake_b, b)
             )
         else:  # fixed multi-scale anchor (same two image pairs as :637-639)
             perc = multiscale_recon(fake_a2, a) + multiscale_recon(fake_b, b)
-        total = adv + 0.01 * recon + perc
+        total = adv + self.recon_weight * recon + perc
         metrics = {"g_adv": adv, "g_recon": recon, "g_lpips": perc}
         if self.use_morph:
             morph = morph_triplet(a, b, warped_b)
             total = total + morph
             metrics["g_morph"] = morph
         if self.use_fft:
-            fft, _, _ = ops.fftloss.fft_l1_loss(fake_b, b, mode=cfg.fft_quantize)
+            # DarkVisible: FFT(fake_A, real_A) (``:700-704``); B2A:
+            # FFT(fake_A1, real_A) (``NewModel3_B2A.py:683-687``). Both add
+            # the UNhalved amp+pha sum -> fft_weight 2.0 on fft_l1_loss's
+            # 0.5·(amp+pha) form (set in the stn_* configs).
+            src = fake_a2 if self.variant == "dark_visible" else fake_a1
+            fft, _, _ = ops.fftloss.fft_l1_loss(src, a, mode=cfg.fft_quantize)
             total = total + cfg.fft_weight * fft
             metrics["g_fft"] = fft
         metrics["loss_G"] = total
@@ -203,14 +238,15 @@ class STNRecipe:
                 {"params": d_params[name], "spectral": spectral[name]}, img, cond
             )
 
-        # global_disc_loss (:492-507): 0.25 weight per D, then 0.5 overall
+        # global_disc_loss (:492-507): 0.25 per head (DarkVisible: 1.0,
+        # ``Eur_DarkVisible.py:510-526``), then 0.5 overall
         d1 = ops.relativistic_d_loss(
             d_apply("D1", b, a), d_apply("D1", aux["fake_b"], a),
-            cfg.label_smooth, weight=0.25,
+            cfg.label_smooth, weight=self.d_head_weight,
         )
         d2 = ops.relativistic_d_loss(
             d_apply("D2", a, b), d_apply("D2", aux["fake_a2"], b),
-            cfg.label_smooth, weight=0.25,
+            cfg.label_smooth, weight=self.d_head_weight,
         )
         loss = 0.5 * (d1 + d2)
         return loss, {"loss_D": loss, "d1": d1, "d2": d2}
