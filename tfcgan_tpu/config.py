@@ -292,11 +292,22 @@ register(ExperimentConfig(
     optim=OptimConfig(schedule="linear_decay", decay_start_epoch=100),
     train=TrainConfig(n_epochs=200),
 ))
-register(ExperimentConfig(name="thermalgan", recipe="thermalgan"))
+# lr 2e-5 "from ThermalGAN paper" (``ThermalGAN_noAMP.py:29``, all variants)
+register(ExperimentConfig(name="thermalgan", recipe="thermalgan",
+                          optim=OptimConfig(lr=2e-5),
+                          train=TrainConfig(n_epochs=200)))
 # ThermalGAN2.py: G1 with train-mode BatchNorm (the positional eps=0.8 quirk)
 register(ExperimentConfig(name="thermalgan_bn", recipe="thermalgan",
+                          optim=OptimConfig(lr=2e-5),
+                          train=TrainConfig(n_epochs=200),
                           extra={"g1_norm": "batch"}))
-register(ExperimentConfig(name="nemar", recipe="nemar"))
+# NeMAR default lr_policy='linear': constant for niter=100 epochs, then
+# decay to zero over niter_decay=100 (``train_options.py:39-48``)
+register(ExperimentConfig(
+    name="nemar", recipe="nemar",
+    optim=OptimConfig(schedule="linear_decay", decay_start_epoch=100),
+    train=TrainConfig(n_epochs=200),
+))
 register(ExperimentConfig(
     name="tfc_diff", recipe="diffusion",
     optim=OptimConfig(lr=1e-3, b1=0.9, b2=0.999),
