@@ -49,20 +49,24 @@ def main() -> None:
     batch = shard_batch(
         synthetic_batch_device(batch_size=BATCH, image_size=SIZE), trainer.mesh
     )
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step = trainer.compiled_step()
 
     import numpy as np
 
     # NOTE: jax.block_until_ready does not reliably block on the tunneled TPU
     # platform — materialize a scalar on host to force full completion.
     try:
+        # init_state runs the first Pallas lowering eagerly: it must sit
+        # INSIDE the try so a Mosaic version skew on the real backend (e.g.
+        # the tunnel helper rejecting ops the local AOT libtpu accepts)
+        # still falls back instead of killing the bench (round-2 lesson).
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer.compiled_step()
         for _ in range(WARMUP):
             state, metrics = step(state, batch)
         float(np.asarray(metrics["loss_G"]))
     except Exception:
-        # safety net: if the Pallas blur kernel fails to compile on this
-        # backend, fall back to the pure-XLA blur and retry once
+        # safety net: if a Pallas kernel fails to compile on this backend,
+        # fall back to the pure-XLA formulations and retry once
         import os
 
         os.environ["TFCGAN_PALLAS_BLUR"] = "0"

@@ -57,8 +57,13 @@ def _out_len(n: int, stride: int) -> int:
 
 
 def _pick_ht(ho: int, w: int, ct: int, stride: int) -> int:
-    """Largest divisor of ho whose input block stays under ~2 MB of bf16."""
-    budget_rows = max(1, (2 << 20) // max(1, (w + 3) * ct * 2))
+    """Largest divisor of ho whose input block stays under ~1 MB of bf16.
+
+    The budget bounds SCOPED VMEM, not just the block: the kernel body holds
+    ~10 fp32 copies of the block (fp32 upcast, parity-split relayouts, concat
+    pads), and the deployed backend enforces a 16 MB scoped-vmem stack limit
+    (the 2 MB budget compiled AOT locally but OOMed on-chip at 23.8 MB)."""
+    budget_rows = max(1, (1 << 20) // max(1, (w + 3) * ct * 2))
     best = 1
     for d in range(1, ho + 1):
         if ho % d == 0 and d * stride + 3 <= budget_rows:
@@ -74,21 +79,42 @@ def _fwd_kernel(xm_ref, hb_ref, o_ref, *, s, ht, w, wo, n_after):
     hb = hb_ref[0, 0].astype(jnp.float32)     # (1+n_after, W, ct)
     # p ascending: [before | main | after]
     rows = jnp.concatenate([hb[0:1], xm, hb[1 : 1 + n_after]], axis=0)
-    # H pass: yh[i] = sum_a k[a] * rows[s*i + a]
-    yh = None
-    for a in range(_F):
-        t = _K1[a] * lax.slice_in_dim(rows, a, a + s * (ht - 1) + 1, stride=s, axis=0)
-        yh = t if yh is None else yh + t
+    # H pass: yh[i] = sum_a k[a] * rows[s*i + a]. The deployed backend's
+    # Mosaic rejects strided vector slices ("strides confined to [1, 2)",
+    # tools/probe_mosaic_ops.py), so the s=2 path splits rows into even/odd
+    # parity planes via a leading-dim reshape and uses stride-1 slices only.
+    if s == 2:
+        r2_ = rows.reshape(ht + 1, 2, w, -1)  # rows = 2ht+2 when s=2
+        ev, od = r2_[:, 0], r2_[:, 1]         # rows[2m], rows[2m+1]
+        yh = (_K1[0] * ev[0:ht] + _K1[1] * od[0:ht]
+              + _K1[2] * ev[1 : ht + 1] + _K1[3] * od[1 : ht + 1])
+    else:
+        yh = None
+        for a in range(_F):
+            t = _K1[a] * lax.slice_in_dim(rows, a, a + ht, axis=0)
+            yh = t if yh is None else yh + t
     # W reflect pad in VMEM: padded col p_w maps to col reflect(p_w - 1)
     left = lax.slice_in_dim(yh, _reflect(-1, w), _reflect(-1, w) + 1, axis=1)
     r1, r2 = _reflect(w, w), _reflect(w + 1, w)
     xw = jnp.concatenate(
         [left, yh, lax.slice_in_dim(yh, r1, r1 + 1, axis=1),
          lax.slice_in_dim(yh, r2, r2 + 1, axis=1)], axis=1)  # (ht, W+3, ct)
-    yw = None
-    for b in range(_F):
-        t = _K1[b] * lax.slice_in_dim(xw, b, b + s * (wo - 1) + 1, stride=s, axis=1)
-        yw = t if yw is None else yw + t
+    if s == 2:
+        # yw[j] = sum_b k[b] * xw[:, 2j+b]: parity-split the padded cols via
+        # a sublane-axis reshape (probe-validated) instead of strided slices.
+        p = w + 3
+        if p % 2 == 1:  # make the col count even; the extra col is never read
+            xw = jnp.concatenate([xw, xw[:, -1:]], axis=1)
+            p += 1
+        sp = xw.reshape(ht, p // 2, 2, -1)
+        ev, od = sp[:, :, 0], sp[:, :, 1]     # xw[:, 2m], xw[:, 2m+1]
+        yw = (_K1[0] * ev[:, 0:wo] + _K1[1] * od[:, 0:wo]
+              + _K1[2] * ev[:, 1 : wo + 1] + _K1[3] * od[:, 1 : wo + 1])
+    else:
+        yw = None
+        for b in range(_F):
+            t = _K1[b] * lax.slice_in_dim(xw, b, b + wo, axis=1)
+            yw = t if yw is None else yw + t
     o_ref[0] = yw.astype(o_ref.dtype)
 
 
