@@ -64,10 +64,17 @@ def main() -> None:
         for _ in range(WARMUP):
             state, metrics = step(state, batch)
         float(np.asarray(metrics["loss_G"]))
-    except Exception:
+    except Exception as e:
         # safety net: if a Pallas kernel fails to compile on this backend,
-        # fall back to the pure-XLA formulations and retry once
+        # fall back to the pure-XLA formulations and retry once — loudly, so
+        # a fallback run is distinguishable from a Pallas run in the logs
         import os
+        import sys
+        import traceback
+
+        print(f"bench: Pallas path failed ({type(e).__name__}: {e}); "
+              f"retrying with TFCGAN_PALLAS_BLUR=0", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
         os.environ["TFCGAN_PALLAS_BLUR"] = "0"
         trainer = Trainer(cfg, build_recipe(cfg), mesh=make_mesh())

@@ -65,6 +65,20 @@ class TestCLI:
         assert parser_calls.get("fn")
 
 
+class TestBalancedMixtureConfigs:
+    def test_ed_without_extra_root_raises_clear_error(self, tmp_path):
+        # triptemp_ed/_ea need two dataset roots; launching with one must fail
+        # with an actionable message, not a FileNotFoundError on a placeholder
+        with pytest.raises(SystemExit, match="--extra-root"):
+            cli.main(["train", "--experiment", "triptemp_ed",
+                      "--data-root", str(tmp_path)])
+
+    def test_no_placeholder_roots_in_registry(self):
+        for name, cfg in EXPERIMENTS.items():
+            for r in cfg.data.extra_roots:
+                assert not r.startswith("<"), (name, r)
+
+
 class TestRegistry:
     def test_every_experiment_builds_a_recipe(self):
         for name in EXPERIMENTS:

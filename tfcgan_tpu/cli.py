@@ -62,7 +62,13 @@ def cmd_train(args):
     cfg = _cfg_from_args(args)
     recipe = build_recipe(cfg)
     roots = [cfg.data.root, *(args.extra_root or cfg.data.extra_roots or [])]
-    roots = [r for r in roots if r and not r.startswith("<")]
+    roots = [r for r in roots if r]
+    if cfg.extra.get("needs_extra_root") and len(roots) < 2:
+        raise SystemExit(
+            f"experiment {cfg.name!r} trains a balanced two-dataset mixture "
+            f"(favtgan_..._TripTemp_ED.py:349-374): pass the second dataset "
+            f"via --extra-root <path>"
+        )
     labels = None
     if cfg.loss.conditional and getattr(args, "annots", None):
         from tfcgan_tpu.data.pairs import load_annotations_csv

@@ -233,31 +233,35 @@ register(ExperimentConfig(
                adv_weight=1.0, lpips_weight=1.0, temp_weight=1.0),
 ))
 # balanced dual-dataset training (ED = Eurecom+Devcom, EA = Eurecom+ADAS):
-# same recipe; the data pipeline supplies a BalancedMixture via extra_roots
+# same recipe; the data pipeline builds a BalancedMixture from the second
+# root, which the user must supply at launch (`cli train --extra-root`) —
+# the reference hard-codes both roots per script
+# (favtgan_..._TripTemp_ED.py:349-374).
+_BALANCED = {"needs_extra_root": True}
 register(ExperimentConfig(
     name="triptemp_ed",
     loss=_loss(fft_mode="off", patch_grid=2, adv_weight=1.0, lpips_weight=1.0,
                temp_weight=1.0),
-    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+    extra=_BALANCED,
 ))
 register(ExperimentConfig(
     name="triptemp_ea",
     loss=_loss(fft_mode="off", patch_grid=2, adv_weight=1.0, lpips_weight=1.0,
                temp_weight=1.0),
-    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+    extra=_BALANCED,
 ))
 # 16-patch balanced variants (favtgan_..._TripTemp_ED_16Patch.py / _EA_16Patch.py)
 register(ExperimentConfig(
     name="triptemp_ed_16p",
     loss=_loss(fft_mode="off", patch_grid=4, adv_weight=1.0, lpips_weight=1.0,
                temp_weight=1.0),
-    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+    extra=_BALANCED,
 ))
 register(ExperimentConfig(
     name="triptemp_ea_16p",
     loss=_loss(fft_mode="off", patch_grid=4, adv_weight=1.0, lpips_weight=1.0,
                temp_weight=1.0),
-    data=DataConfig(extra_roots=("<second-dataset-root>",)),
+    extra=_BALANCED,
 ))
 register(ExperimentConfig(name="ablation_nopatch", loss=_loss(patch_grid=0, **_FAV)))
 register(ExperimentConfig(name="ablation_noperc", loss=_loss(patch_grid=4, use_lpips=False, **_FAV)))

@@ -10,12 +10,6 @@ constructs the deployed backend actually supports.
 
 Usage: timeout 900 python tools/probe_mosaic_ops.py
 """
-import sys
-
-sys.path.insert(0, "/root/repo")
-
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
