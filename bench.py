@@ -19,7 +19,12 @@ import time
 
 V100_IMG_PER_SEC = 30.0  # estimated reference throughput per V100 (see above)
 
-BATCH = 128  # best measured throughput (tools/bench_batch.py: 32->202, 96->237, 128->264 img/s; 160 exceeds the remote-compile helper)
+import os as _os
+
+# best measured throughput (tools/bench_batch.py: 32->202, 96->237, 128->264
+# img/s pre-fusion; b144+ exceeded HBM pre-fusion). TFCGAN_BENCH_BATCH probes
+# other batches without editing the driver-run default.
+BATCH = int(_os.environ.get("TFCGAN_BENCH_BATCH", "128"))
 SIZE = 256
 WARMUP = 3
 ITERS = 10

@@ -49,17 +49,21 @@ def blur_pool(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
     ``antialiased_cnns.BlurPool(filt_size=4)`` =
     ReflectionPad2d((1,2,1,2)) -> depthwise [1,3,3,1]⊗[1,3,3,1]/64 conv.
 
-    On TPU this dispatches to the Pallas kernel (fp32-accumulated separable
-    shift-add, exact reflect semantics, custom exact VJP) — every pure-XLA
-    formulation measured 113-138 ms/step on the b128 FFT-GLO train step (see
-    ops/pallas_kernels/blurpool.py). CPU (tests / virtual mesh) and
-    unsupported shapes use the direct padded form."""
+    Default path: the direct XLA form. The Pallas kernel
+    (ops/pallas_kernels/blurpool.py: fp32-accumulated separable shift-add,
+    exact reflect semantics, custom exact VJP) is OPT-IN via
+    TFCGAN_PALLAS_BLUR=1: it wins standalone microbenches, but in the full
+    b128 FFT-GLO step the deployed backend surrounds every pallas_call with
+    layout copies (convs want batch-minor {0,3,2,1}, Mosaic requires the
+    default layout) that cost ~128 MB each and push the step to an HBM OOM
+    (16.64 G > 15.75 G, round 3 measurement) — the round-2 "win" was a
+    silent fallback to this XLA path all along."""
     import os
 
     use_pallas = (
         filt_size == 4
         and jax.default_backend() != "cpu"
-        and os.environ.get("TFCGAN_PALLAS_BLUR", "1") != "0"  # kill switch
+        and os.environ.get("TFCGAN_PALLAS_BLUR", "0") == "1"  # opt-in
     )
     if use_pallas:
         from tfcgan_tpu.ops.pallas_kernels.blurpool import (

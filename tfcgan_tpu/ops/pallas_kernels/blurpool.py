@@ -57,13 +57,19 @@ def _out_len(n: int, stride: int) -> int:
 
 
 def _pick_ht(ho: int, w: int, ct: int, stride: int) -> int:
-    """Largest divisor of ho whose input block stays under ~1 MB of bf16.
+    """Largest divisor of ho whose input block stays under ~512 KB of bf16.
 
     The budget bounds SCOPED VMEM, not just the block: the kernel body holds
     ~10 fp32 copies of the block (fp32 upcast, parity-split relayouts, concat
-    pads), and the deployed backend enforces a 16 MB scoped-vmem stack limit
-    (the 2 MB budget compiled AOT locally but OOMed on-chip at 23.8 MB)."""
-    budget_rows = max(1, (1 << 20) // max(1, (w + 3) * ct * 2))
+    pads), and the deployed backend enforces a 16 MB scoped-vmem stack limit.
+    History of on-chip OOMs that set the value: 2 MB budget -> 23.8 MB scoped
+    (round 2); 1 MB -> 18.77 MB on the round-3 backend for the b128
+    (256, 255) D-block backward. 512 KB keeps the largest observed shape at
+    ~9.4 MB. Override via TFCGAN_BLUR_VMEM_BUDGET (bytes) for tuning."""
+    import os
+
+    budget = int(os.environ.get("TFCGAN_BLUR_VMEM_BUDGET", 1 << 19))
+    budget_rows = max(1, budget // max(1, (w + 3) * ct * 2))
     best = 1
     for d in range(1, ho + 1):
         if ho % d == 0 and d * stride + 3 <= budget_rows:
