@@ -101,6 +101,51 @@ def to_torch_convT(flax_kernel):
     return torch.from_numpy(np.asarray(flax_kernel).transpose(2, 3, 0, 1).copy())
 
 
+class TestUpsample2xConvFusion:
+    @pytest.mark.parametrize("k,pad", [(4, ((2, 1), (2, 1))), (3, ((1, 1), (1, 1)))])
+    def test_fused_equals_unfused(self, k, pad):
+        """Upsample2xConv == upsample_nearest_2x + TorchConv(k) with the SAME
+        param tree — forward and input gradient, fp32 exact to accumulation
+        noise (the fusion removes the ~2 GB materialized broadcast)."""
+        import jax
+        import jax.numpy as jnp
+        from tfcgan_tpu.models.layers import (
+            TorchConv, Upsample2xConv, upsample_nearest_2x,
+        )
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 9, 11, 5).astype(np.float32))
+        fused = Upsample2xConv(7, kernel_size=(k, k), padding=pad)
+        params = fused.init(jax.random.PRNGKey(0), x)["params"]
+        unfused = TorchConv(7, kernel_size=(k, k), padding=pad)
+
+        def f_fused(v):
+            return fused.apply({"params": params}, v)
+
+        def f_ref(v):
+            return unfused.apply({"params": params}, upsample_nearest_2x(v))
+
+        y1, y2 = f_fused(x), f_ref(x)
+        assert y1.shape == y2.shape == (2, 18, 22, 7)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda v: jnp.sum(f_fused(v) ** 2))(x)
+        g2 = jax.grad(lambda v: jnp.sum(f_ref(v) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_no_bias_variant(self):
+        import jax
+        from tfcgan_tpu.models.layers import Upsample2xConv
+
+        x = np.random.RandomState(1).randn(1, 8, 8, 3).astype(np.float32)
+        mod = Upsample2xConv(4, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                             use_bias=False)
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        assert set(params) == {"kernel"}
+        assert mod.apply({"params": params}, x).shape == (1, 16, 16, 4)
+
+
 class TestLayers:
     def test_conv_transpose_matches_torch(self):
         rng = np.random.RandomState(0)

@@ -23,6 +23,7 @@ from collections.abc import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tfcgan_tpu.ops.blurpool import blur_pool
@@ -200,6 +201,64 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def _up2_tap_map(k: int) -> np.ndarray:
+    """(k+1, k) merged-tap map for fusing nearest-2x upsample into a conv(k):
+    y[p] = Σ_a w[a]·x[floor((p+a)/2)] == Σ_j K[j]·z[p-1+j] on the zero-dilated
+    input z, with K[j] = Σ w[a] over a ∈ {j-1, j} ∩ [0, k)."""
+    m = np.zeros((k + 1, k), np.float32)
+    for j in range(k + 1):
+        for a in (j - 1, j):
+            if 0 <= a < k:
+                m[j, a] = 1.0
+    return m
+
+
+class Upsample2xConv(nn.Module):
+    """nearest-2x upsample + zero-pad + Conv2d(k, s1) fused into ONE
+    lhs-dilated conv.
+
+    Functionally identical to ``upsample_nearest_2x`` followed by
+    ``TorchConv(k, padding)`` — but XLA materializes the 2× broadcast as an
+    HLO temp (~2 GB at b128 256² in the FFT-GLO generator head, the single
+    largest allocation in the round-3 AOT dump) plus its read-back; the fused
+    form feeds the MXU straight from the un-upsampled activation. The
+    parameter tree is IDENTICAL to the unfused TorchConv ((k,k,in,out)
+    "kernel" [+ "bias"]), so checkpoints and torch weight transfer are
+    unaffected: the (k+1)² merged-tap kernel K[i,j] = Σ_{a∈A(i),b∈A(j)} w[a,b]
+    is built in-graph (``_up2_tap_map``), and a post-upsample pad (pl, pr)
+    maps to a dilated-conv pad (pl+1, pr+1).
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (4, 4)
+    padding: Sequence[tuple[int, int]] = ((2, 1), (2, 1))
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        mh, mw = jnp.asarray(_up2_tap_map(kh)), jnp.asarray(_up2_tap_map(kw))
+        k_up = jnp.einsum("ia,jb,abco->ijco", mh, mw, kernel)
+        (pt, pb), (pl, pr) = self.padding
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k_up.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pt + 1, pb + 1), (pl + 1, pr + 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 def spectral_power_iteration(params, spectral):

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tfcgan_tpu.models.layers import TorchConv, upsample_nearest_2x
+from tfcgan_tpu.models.layers import TorchConv, Upsample2xConv
 from tfcgan_tpu.ops.norm import instance_norm
 
 
@@ -64,9 +64,9 @@ class ResNetGenerator(nn.Module):
             h = ResidualBlock(f, dtype=dt, name=f"res{i}")(h)
         for i in range(2):  # upsample
             f //= 2
-            h = upsample_nearest_2x(h)
-            h = TorchConv(f, kernel_size=(3, 3), strides=(1, 1),
-                          padding=((1, 1), (1, 1)), dtype=dt, name=f"up{i}")(h)
+            # upsample fused into the conv (layers.Upsample2xConv; same params)
+            h = Upsample2xConv(f, kernel_size=(3, 3),
+                               padding=((1, 1), (1, 1)), dtype=dt, name=f"up{i}")(h)
             h = instance_norm(h)
             h = nn.relu(h)
         h = _reflect_pad(h, 3)

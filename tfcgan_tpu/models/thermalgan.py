@@ -17,7 +17,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tfcgan_tpu.models.layers import TorchConv, TorchConvTranspose, upsample_nearest_2x
+from tfcgan_tpu.models.layers import (
+    TorchConv,
+    TorchConvTranspose,
+    Upsample2xConv,
+)
 from tfcgan_tpu.ops.norm import instance_norm
 
 
@@ -76,9 +80,9 @@ class _UpBic(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        x = upsample_nearest_2x(x)
-        x = TorchConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, dtype=self.dtype, name="conv")(x)
+        # upsample fused into the conv (layers.Upsample2xConv; same params)
+        x = Upsample2xConv(self.feats, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                           use_bias=False, dtype=self.dtype, name="conv")(x)
         if self.norm == "batch":
             x = TrainBatchNorm(dtype=self.dtype, name="bn")(x)
         else:
@@ -113,9 +117,8 @@ class GeneratorG1(nn.Module):
         u = downs[-1]
         for i, f in enumerate([512, 512, 512, 256, 128, 64]):
             u = _UpBic(f, norm=self.norm, dtype=dt, name=f"up{i+1}")(u, downs[-(i + 2)])
-        u = upsample_nearest_2x(u)
-        u = TorchConv(self.out_channels, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                      dtype=dt, name="final")(u)
+        u = Upsample2xConv(self.out_channels, kernel_size=(3, 3),
+                           padding=((1, 1), (1, 1)), dtype=dt, name="final")(u)
         return jnp.tanh(u)
 
 
@@ -211,9 +214,8 @@ class GeneratorG2(nn.Module):
             u = _UpPix(f, dropout=drop, dtype=dt, name=f"up{i+1}")(
                 u, downs[-(i + 2)], deterministic
             )
-        u = upsample_nearest_2x(u)
-        u = TorchConv(self.out_channels, padding=((2, 1), (2, 1)), dtype=dt,
-                      name="final")(u)
+        u = Upsample2xConv(self.out_channels, padding=((2, 1), (2, 1)), dtype=dt,
+                           name="final")(u)
         return jnp.tanh(u)
 
 

@@ -17,10 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from tfcgan_tpu.models.layers import (
-    TorchConv,
     UNetDown,
     UNetUp,
-    upsample_nearest_2x,
+    Upsample2xConv,
 )
 
 
@@ -43,11 +42,12 @@ class GeneratorUNet(nn.Module):
         u3 = UNetUp(256, dropout=0.5, dtype=dt, name="up3")(u2, d3, deterministic)
         u4 = UNetUp(128, dtype=dt, name="up4")(u3, d2, deterministic)
         u5 = UNetUp(64, dtype=dt, name="up5")(u4, d1, deterministic)
-        # final: Upsample(x2 nearest) -> ZeroPad2d((1,0,1,0)) -> Conv(k4,p1) -> tanh
-        y = upsample_nearest_2x(u5)
-        y = TorchConv(
+        # final: Upsample(x2 nearest) -> ZeroPad2d((1,0,1,0)) -> Conv(k4,p1)
+        # -> tanh, with the upsample FUSED into the conv (one lhs-dilated
+        # MXU conv; same "final_conv" params — see layers.Upsample2xConv)
+        y = Upsample2xConv(
             self.out_channels, padding=((2, 1), (2, 1)), dtype=dt, name="final_conv"
-        )(y)
+        )(u5)
         return jnp.tanh(y)
 
 
