@@ -6,9 +6,13 @@ fixed batches.
 Per-term parity on fixed inputs is covered by test_parity_fftglo.py; this
 test proves what those cannot — that the *composition* matches: relativistic
 G/D update order, fake_B.detach() reuse in the D phase, spectral-norm
-state advancing once per step with both phases consuming the same (u, v)
-(the repo's documented deviation from torch's per-forward iteration — the
-torch replica mirrors it), and Adam(2e-4, 0.5, 0.999) on both optimizers.
+cadence, and Adam(2e-4, 0.5, 0.999) on both optimizers. BOTH cadences are
+locked: the fast per-step default against a replica mirroring it
+(TestTrajectoryParity), and ``extra["spectral_cadence"]="per_forward"``
+against an UNMODIFIED ``torch.nn.utils.parametrizations.spectral_norm``
+replica — u/v advancing at each of the 4 D forwards in torch's u-first
+order, exactly as the reference runs (``globalFFT.py:190``)
+(TestTrajectoryParityPerForward).
 
 Stochastic loss terms (patch-triplet negatives, ColorJitter temperature
 negatives, G dropout) are configured off: cross-framework RNG streams cannot
@@ -216,3 +220,134 @@ class TestTrajectoryParity:
         np.testing.assert_allclose(jax_hist[4:], torch_hist[4:], rtol=0.8, atol=0.1)
         # and training must actually be moving (not a frozen fixed point)
         assert abs(jax_hist[0, 0] - jax_hist[-1, 0]) > 1e-3
+
+
+# ------------------------------------------------- per-forward cadence replica
+class TPatchDParametrized(nn.Module):
+    """Reference PatchGAN with torch's ACTUAL spectral_norm parametrization —
+    nothing mirrored or modified: u/v advance inside every conv forward
+    (``globalFFT.py:190``: parametrizations.spectral_norm on each D block)."""
+
+    def __init__(self):
+        super().__init__()
+        from torch.nn.utils.parametrizations import spectral_norm
+
+        chans = [(6, 64), (64, 128), (128, 256), (256, 512)]
+        self.blocks = nn.ModuleList(
+            [spectral_norm(nn.Conv2d(i, o, 4, stride=1, padding=1)) for i, o in chans]
+        )
+        self.blurs = nn.ModuleList([TBlurPool(o, 2) for _, o in chans])
+        self.final_pad = nn.ZeroPad2d((1, 0, 1, 0))
+        self.final_conv = nn.Conv2d(512, 1, 4, padding=1, bias=False)
+
+    def forward(self, a, b):
+        x = torch.cat([a, b], 1)
+        for conv, blur in zip(self.blocks, self.blurs):
+            x = blur(F.leaky_relu(conv(x), 0.2))
+        return self.final_conv(self.final_pad(x))
+
+
+def torch_to_jax_v(v, kernel_shape):
+    """spectral v: torch flattens (in, kh, kw) — flax flattens (kh, kw, in)."""
+    kh, kw, cin, _ = kernel_shape
+    return jnp.asarray(
+        v.detach().numpy().reshape(cin, kh, kw).transpose(1, 2, 0).reshape(-1)
+    )
+
+
+class TestTrajectoryParityPerForward:
+    def test_lockstep_vs_unmodified_torch_spectral_norm(self):
+        steps = 8
+        cfg = get_experiment("fft_glo")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=BATCH, image_size=SIZE),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            loss=cfg.loss.__class__(
+                patch_grid=0, use_temp=False, use_lpips=False,
+                fft_mode="global", fft_quantize="smooth",
+            ),
+            extra={"deterministic_g": True, "spectral_cadence": "per_forward"},
+        )
+        recipe = build_recipe(cfg)
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        trainer = Trainer(cfg, recipe, mesh=make_mesh(1))
+        batches = [
+            synthetic_batch(batch_size=BATCH, image_size=SIZE, seed=s)
+            for s in range(steps)
+        ]
+        state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+
+        # torch twin: transfer weights out of the jax init, then adopt
+        # torch's own post-construction (u, v) on the jax side so both start
+        # from the same spectral state (torch runs 15 init iterations on its
+        # random init weights; their exact value is irrelevant — only that
+        # both sides share it)
+        tg, _ = build_torch_twin(state)
+        td = TPatchDParametrized()
+        d_params = jax.device_get(state.d_params)["D"]
+        spectral = jax.device_get(state.spectral)["D"]
+        for i, blk in enumerate(td.blocks):
+            p = d_params[f"block{i}_conv"]
+            blk.parametrizations.weight.original.data = to_torch_conv(p["kernel"])
+            blk.bias.data = torch.from_numpy(np.asarray(p["bias"]).copy())
+            sn = blk.parametrizations.weight[0]
+            spectral[f"block{i}_conv"] = {
+                "u": jnp.asarray(sn._u.detach().numpy()),
+                "v": torch_to_jax_v(sn._v, np.asarray(p["kernel"]).shape),
+            }
+        td.final_conv.weight.data = to_torch_conv(d_params["final_conv"]["kernel"])
+        state = state.replace(spectral={"D": spectral})
+
+        opt_g = torch.optim.Adam(tg.parameters(), lr=2e-4, betas=(0.5, 0.999))
+        opt_d = torch.optim.Adam(td.parameters(), lr=2e-4, betas=(0.5, 0.999))
+
+        step = trainer.compiled_step()
+        jax_hist, torch_hist = [], []
+        for step_i, batch in enumerate(batches):
+            state, m = step(state, shard_batch(batch, trainer.mesh))
+            jax_hist.append((float(m["loss_G"]), float(m["loss_D"])))
+
+            a = torch.from_numpy(batch["A"]).permute(0, 3, 1, 2)
+            b = torch.from_numpy(batch["B"]).permute(0, 3, 1, 2)
+            # NO manual power iteration: the parametrization advances u/v
+            # inside each of the 4 D forwards, exactly like the reference.
+            fake = tg(a)
+            adv = t_bce_logits(td(fake, a) - td(b, a).detach(), 0.9)
+            loss_g = 0.5 * adv + 0.01 * t_fft_loss(fake, b)
+            opt_g.zero_grad()
+            loss_g.backward()
+            opt_g.step()
+            fake_d = fake.detach()
+            pr, pf = td(b, a), td(fake_d, a)
+            loss_d = 0.5 * (t_bce_logits(pr - pf, 0.9) + t_bce_logits(pf - pr, 0.0))
+            opt_d.zero_grad()
+            loss_d.backward()
+            opt_d.step()
+            torch_hist.append((loss_g.item(), loss_d.item()))
+
+            if step_i == 0:
+                # after one step (D weights identical during its 4 forwards)
+                # the spectral state itself must match: u/v advanced 4× in
+                # torch's u-first order on both sides
+                spec1 = jax.device_get(state.spectral)["D"]
+                for i, blk in enumerate(td.blocks):
+                    sn = blk.parametrizations.weight[0]
+                    np.testing.assert_allclose(
+                        np.asarray(spec1[f"block{i}_conv"]["u"]),
+                        sn._u.detach().numpy(), rtol=1e-4, atol=1e-5,
+                    )
+
+        jax_hist = np.asarray(jax_hist)
+        torch_hist = np.asarray(torch_hist)
+        # per-forward cadence re-derives u/v from the (fp-noise-diverging)
+        # weights 4x/step, so XLA-vs-ATen accumulation noise compounds one
+        # step faster than the per-step test's window: measured step-0 7e-7,
+        # step-1 1e-5, step-2 4e-4, step-3 1.5e-3. A semantic mismatch (wrong
+        # iteration order, missed/extra iteration) fails the step-0 spectral
+        # check above at O(1e-2) immediately.
+        np.testing.assert_allclose(
+            jax_hist[:3], torch_hist[:3], rtol=1e-3, atol=1e-4
+        )
+        assert np.all(np.isfinite(jax_hist)) and np.all(np.isfinite(torch_hist))
+        np.testing.assert_allclose(jax_hist[3:], torch_hist[3:], rtol=0.8, atol=0.1)

@@ -261,13 +261,25 @@ class Upsample2xConv(nn.Module):
         return y
 
 
-def spectral_power_iteration(params, spectral):
+def spectral_power_iteration(params, spectral, order: str = "vu"):
     """One power iteration for every spectrally-normalized kernel.
 
     The iteration depends only on the kernels, so instead of threading
     ``update_stats`` through a discriminator forward (the reference runs it
     implicitly 4× per step inside D calls), the trainer advances (u, v) once
     per step here and every D evaluation then uses the same fixed state.
+    Recipes opting into the reference's exact cadence
+    (``extra["spectral_cadence"] = "per_forward"``) instead call this before
+    *each* discriminator forward — see ``recipes/tfcgan.py``.
+
+    ``order`` selects the update sequence within one iteration:
+
+    - ``"vu"``: v ← normalize(Wᵀu); u ← normalize(Wv) — the legacy
+      ``torch.nn.utils.spectral_norm`` order (the per-step default).
+    - ``"uv"``: u ← normalize(Wv); v ← normalize(Wᵀu) — what the reference's
+      ``torch.nn.utils.parametrizations.spectral_norm`` actually runs
+      (``_SpectralNorm._power_method``; registered at
+      ``TFCGAN_multigpu_globalFFT.py:190``), used by the per-forward cadence.
 
     ``spectral`` mirrors the params tree with {"u", "v"} leaves at modules
     that own a "kernel".
@@ -279,8 +291,12 @@ def spectral_power_iteration(params, spectral):
             kernel = p["kernel"]
             w = kernel.reshape(-1, kernel.shape[-1]).T  # (out, rest)
             w = jax.lax.stop_gradient(w)
-            v = _l2_normalize(w.T @ s["u"])
-            u = _l2_normalize(w @ v)
+            if order == "uv":
+                u = _l2_normalize(w @ s["v"])
+                v = _l2_normalize(w.T @ u)
+            else:
+                v = _l2_normalize(w.T @ s["u"])
+                u = _l2_normalize(w @ v)
             return {"u": u, "v": v}
         return {k: rec(p[k], v) for k, v in s.items()}
 

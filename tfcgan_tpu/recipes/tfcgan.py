@@ -33,6 +33,7 @@ from tfcgan_tpu.models import (
     LPIPS,
     PatchDiscriminator,
 )
+from tfcgan_tpu.models.layers import spectral_power_iteration
 from tfcgan_tpu.models.lpips import load_lpips_params, resolve_perceptual
 from tfcgan_tpu.models.resnet import ResNet18
 from tfcgan_tpu.ops.fftloss import fft_amp_phase
@@ -218,9 +219,17 @@ def cross_entropy(logits_or_probs: jax.Array, labels: jax.Array, from_probs: boo
 
 class TFCGANRecipe:
     name = "tfcgan"
+    # extra["spectral_cadence"]="per_forward" reproduces the reference's exact
+    # spectral-norm semantics: torch's parametrizations.spectral_norm advances
+    # u/v at every D forward (4×/step — ``globalFFT.py:190,454-526``); the
+    # fast default advances once per step in the trainer.
+    supports_per_forward_spectral = True
 
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
+        self.per_forward_spectral = (
+            cfg.extra.get("spectral_cadence", "per_step") == "per_forward"
+        )
         dt = _dtype(cfg)
         lc = cfg.loss
         if lc.conditional and lc.use_mask:
@@ -338,6 +347,14 @@ class TFCGANRecipe:
         )
         return out  # logits, or (logits, probs) when conditional
 
+    def _advance_spectral(self, d_params, spectral):
+        """Per-forward cadence: one u/v power iteration in torch's
+        parametrizations order BEFORE a D forward (no-op on the per-step
+        default, where the trainer advances once)."""
+        if self.per_forward_spectral:
+            return spectral_power_iteration(d_params, spectral, order="uv")
+        return spectral
+
     # --------------------------------------------------------------- losses
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
         cfg = self.cfg.loss
@@ -370,11 +387,17 @@ class TFCGANRecipe:
             else:
                 g3 = lab3
             fake_b = self._gen(g_params, batch, k_drop, deterministic=det, labels=g3)
+            spectral = self._advance_spectral(d_params, spectral)
             pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
+            spectral = self._advance_spectral(d_params, spectral)
             pred_real, _ = self._disc(d_params, spectral, b, a)
         else:
             fake_b = self._gen(g_params, batch, k_drop, deterministic=det)
+            # reference forward order in the G phase: D(fake) then D(real)
+            # (``globalFFT.py:458-459``) — u/v advance before each
+            spectral = self._advance_spectral(d_params, spectral)
             pred_fake = self._disc(d_params, spectral, fake_b, a)
+            spectral = self._advance_spectral(d_params, spectral)
             pred_real = self._disc(d_params, spectral, b, a)
         adv = ops.relativistic_g_loss(pred_fake, pred_real, cfg.label_smooth)
         total = cfg.adv_weight * adv
@@ -457,22 +480,32 @@ class TFCGANRecipe:
 
         metrics["loss_G"] = total
         aux = {"fake_b": jax.lax.stop_gradient(fake_b), **aux_extra}
+        if self.per_forward_spectral:
+            aux["spectral"] = spectral  # hand the advanced u/v to the D phase
         return total, (aux, metrics)
 
     def d_loss(self, d_params, spectral, aux, batch, rng):
         cfg = self.cfg.loss
         a, b = batch["A"], batch["B"]
         fake_b = aux["fake_b"]
+        # reference forward order in the D phase: D(real) then D(fake.detach())
+        # (``globalFFT.py:519-521``)
         if cfg.conditional:
+            spectral = self._advance_spectral(d_params, spectral)
             pred_real, probs_r = self._disc(d_params, spectral, b, a)
+            spectral = self._advance_spectral(d_params, spectral)
             pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
         else:
+            spectral = self._advance_spectral(d_params, spectral)
             pred_real = self._disc(d_params, spectral, b, a)
+            spectral = self._advance_spectral(d_params, spectral)
             pred_fake = self._disc(d_params, spectral, fake_b, a)
         loss = ops.relativistic_d_loss(
             pred_real, pred_fake, cfg.label_smooth, cfg.d_loss_weight
         )
         metrics = {"loss_D": loss}
+        if self.per_forward_spectral:
+            metrics["_spectral"] = spectral  # popped by the trainer, not logged
         if cfg.conditional:
             # loss_D = ½((adv_real + real_label) + (adv_fake + fake_label)):
             # real targets are the annotations; fake targets are random draws

@@ -52,12 +52,30 @@ def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -
     # other reference family runs G first on the pre-update D.
     d_first = getattr(recipe, "update_order", "g_first") == "d_first"
 
+    # spectral-norm cadence: "per_step" (fast default — one power iteration,
+    # both phases consume the same u/v) or "per_forward" (the reference's
+    # exact semantics: torch's parametrizations.spectral_norm advances u/v at
+    # EVERY D forward, 4×/step — the recipe advances the state inside its
+    # loss functions and returns it via aux / a reserved metrics key).
+    per_forward = cfg.extra.get("spectral_cadence", "per_step") == "per_forward"
+    if per_forward and not getattr(recipe, "supports_per_forward_spectral", False):
+        raise ValueError(
+            f"recipe {getattr(recipe, 'name', recipe)!r} does not implement "
+            f"spectral_cadence='per_forward'"
+        )
+    if per_forward and d_first:
+        raise ValueError("spectral_cadence='per_forward' requires g_first order")
+
     def train_step(state: GANTrainState, batch) -> tuple[GANTrainState, dict]:
         step_rng = jax.random.fold_in(state.rng, state.step)
         g_rng, d_rng = jax.random.split(step_rng)
 
-        # one spectral power iteration per step (torch runs one per D forward)
-        spectral = spectral_power_iteration(state.d_params, state.spectral)
+        if per_forward:
+            # the recipe advances u/v before each of its 4 D forwards
+            spectral = state.spectral
+        else:
+            # one spectral power iteration per step (torch runs one per D forward)
+            spectral = spectral_power_iteration(state.d_params, state.spectral)
 
         extra = state.extra
         if d_first:
@@ -92,6 +110,10 @@ def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -
             )
             g_params = optax.apply_updates(state.g_params, g_updates)
 
+            if per_forward:
+                # u/v as left by the G phase's two D forwards
+                spectral = aux.pop("spectral")
+
             # recipe-owned state hook (e.g. replay-buffer push/sample) before D
             if hasattr(recipe, "pre_d"):
                 extra, aux = recipe.pre_d(extra, aux, d_rng)
@@ -104,6 +126,10 @@ def make_train_step(cfg: ExperimentConfig, recipe, return_grads: bool = False) -
                 d_grads, state.d_opt_state, state.d_params
             )
             d_params = optax.apply_updates(state.d_params, d_updates)
+
+        if per_forward:
+            # final u/v after the D phase's two forwards (reserved metrics key)
+            spectral = d_metrics.pop("_spectral")
 
         metrics = {**g_metrics, **d_metrics}
         new_state = state.replace(
