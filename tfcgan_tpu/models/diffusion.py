@@ -78,46 +78,107 @@ class DDPMSchedule:
 
 
 # ------------------------------------------------------------------- network
+#
+# Block-exact rebuild of ``diffusers.UNet2DModel`` for the reference's config
+# (``prototype_condA.py:59-90``): block_out_channels=(32, 64, 64),
+# layers_per_block=1, down=(DownBlock2D, AttnDownBlock2D, AttnDownBlock2D),
+# up=(AttnUpBlock2D, AttnUpBlock2D, UpBlock2D), norm_num_groups=32,
+# norm_eps=1e-5, attention_head_dim=8, act=silu, time embedding = sinusoidal
+# Timesteps(32, flip_sin_to_cos=True, freq_shift=0) -> Linear(32,128) -> silu
+# -> Linear(128,128). Verified against a torch replica of the same graph with
+# transferred weights (tests/test_parity_diffusion.py).
+
+
 def timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """diffusers ``Timesteps(dim, flip_sin_to_cos=True, downscale_freq_shift=0)``:
+    freqs = exp(-ln(1e4)·i/half), emb = [cos, sin] (flipped order)."""
     half = dim // 2
     freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
     args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-class ResBlock(nn.Module):
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (time_embedding_norm='default', output_scale 1):
+    GN(32) -> silu -> conv3x3 -> +Linear(temb)[:,None,None,:] -> GN(32) -> silu
+    -> conv3x3; 1x1 conv shortcut when channels change."""
+
     feats: int
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="n1")(x)
+        dt = self.dtype
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=dt, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.feats, (3, 3), padding="SAME", dtype=self.dtype, name="c1")(h)
-        h = h + nn.Dense(self.feats, dtype=self.dtype, name="temb")(nn.silu(temb))[:, None, None, :]
-        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="n2")(h)
+        h = nn.Conv(self.feats, (3, 3), padding="SAME", dtype=dt, name="conv1")(h)
+        h = h + nn.Dense(self.feats, dtype=dt, name="time_emb_proj")(
+            nn.silu(temb))[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=dt, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.feats, (3, 3), padding="SAME", dtype=self.dtype, name="c2")(h)
+        h = nn.Conv(self.feats, (3, 3), padding="SAME", dtype=dt, name="conv2")(h)
         if x.shape[-1] != self.feats:
-            x = nn.Conv(self.feats, (1, 1), dtype=self.dtype, name="skip")(x)
+            x = nn.Conv(self.feats, (1, 1), dtype=dt, name="conv_shortcut")(x)
         return x + h
 
 
-class AttnBlock(nn.Module):
+class AttentionBlock(nn.Module):
+    """diffusers' deprecated-style spatial self-attention (what Attn*Block2D
+    builds: GN(32) -> to_q/k/v Linear(bias) over HW tokens, head_dim=8,
+    upcast softmax, to_out Linear, residual add)."""
+
+    head_dim: int = 8
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    # max query rows whose full-key attention matrix may be live at once; at
+    # 64² tokens the unchunked (N, heads, 4096, 4096) map is ~8 GiB fp32 at
+    # batch 16 and OOMs the 16 GiB chip — chunking bounds the live slab to
+    # (N, heads, 512, HW) and jax.checkpoint keeps the backward at the same
+    # bound (attn probs recomputed per chunk, never stored for all chunks).
+    q_chunk: int = 512
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="norm")(x)
-        y = y.reshape(n, h * w, c)
-        y = nn.MultiHeadDotProductAttention(num_heads=max(1, c // 32),
-                                            dtype=self.dtype, name="attn")(y, y)
-        return x + y.reshape(n, h, w, c)
+        dt = self.dtype
+        n, hh, ww, c = x.shape
+        heads = c // self.head_dim
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=dt,
+                         name="group_norm")(x)
+        h = h.reshape(n, hh * ww, c)
+        q = nn.Dense(c, dtype=dt, name="to_q")(h)
+        k = nn.Dense(c, dtype=dt, name="to_k")(h)
+        v = nn.Dense(c, dtype=dt, name="to_v")(h)
+        split = lambda z: z.reshape(n, -1, heads, self.head_dim).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        def qblock(qc):
+            # identical math to the unchunked form: softmax rows only depend
+            # on their own query, so query chunking is exact, not approximate
+            a = jnp.einsum("nhqd,nhkd->nhqk", qc, k) * (self.head_dim ** -0.5)
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(dt)
+            return jnp.einsum("nhqk,nhkd->nhqd", a, v)
+
+        hw = hh * ww
+        if hw > self.q_chunk and hw % self.q_chunk == 0:
+            qs = q.reshape(n, heads, hw // self.q_chunk, self.q_chunk,
+                           self.head_dim).transpose(2, 0, 1, 3, 4)
+            out = jax.lax.map(jax.checkpoint(qblock), qs)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(n, heads, hw, self.head_dim)
+        else:
+            out = qblock(q)
+        out = out.transpose(0, 2, 1, 3).reshape(n, hh * ww, c)
+        out = nn.Dense(c, dtype=dt, name="to_out")(out)
+        return out.reshape(n, hh, ww, c) + x
 
 
 class CondUNet(nn.Module):
-    """UNet2DModel-style denoiser: eps = f(cat(x_noisy, cond), t)."""
+    """UNet2DModel-exact denoiser: eps = f(cat(x_noisy, cond), t).
+
+    ``attn[i]`` selects AttnDownBlock2D at down position i; the up path uses
+    the reversed flags (the reference's Attn/Attn/Up ordering). Skip plumbing
+    matches UNet2DModel.forward: conv_in + every resnet(+attn) output + every
+    downsampler output are pushed; each up layer concatenates one pop."""
 
     out_channels: int = 1
     channels: tuple[int, ...] = (32, 64, 64)
@@ -128,40 +189,49 @@ class CondUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, cond: jax.Array) -> jax.Array:
         dt = self.dtype
-        temb = timestep_embedding(t, self.channels[0] * 4)
-        temb = nn.Dense(self.channels[0] * 4, dtype=dt, name="temb1")(temb)
-        temb = nn.Dense(self.channels[0] * 4, dtype=dt, name="temb2")(nn.silu(temb))
+        ch0 = self.channels[0]
+        # Timesteps(ch0) sinusoid -> TimestepEmbedding MLP (ch0 -> 4·ch0)
+        temb = timestep_embedding(t, ch0)
+        temb = nn.Dense(ch0 * 4, dtype=dt, name="time_mlp1")(temb)
+        temb = nn.Dense(ch0 * 4, dtype=dt, name="time_mlp2")(nn.silu(temb))
 
         h = jnp.concatenate([x, cond], axis=-1).astype(dt)
-        h = nn.Conv(self.channels[0], (3, 3), padding="SAME", dtype=dt, name="stem")(h)
+        h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=dt, name="conv_in")(h)
         skips = [h]
         for i, ch in enumerate(self.channels):
             for j in range(self.layers_per_block):
-                h = ResBlock(ch, dtype=dt, name=f"down{i}_{j}")(h, temb)
+                h = ResnetBlock2D(ch, dtype=dt, name=f"down{i}_res{j}")(h, temb)
                 if self.attn[i]:
-                    h = AttnBlock(dtype=dt, name=f"down{i}_{j}_attn")(h)
+                    h = AttentionBlock(dtype=dt, name=f"down{i}_attn{j}")(h)
                 skips.append(h)
             if i + 1 < len(self.channels):
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
-                            dtype=dt, name=f"down{i}_pool")(h)
+                # Downsample2D: conv3x3 stride 2, pad 1
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=dt, name=f"down{i}_downsample")(h)
                 skips.append(h)
-        h = ResBlock(self.channels[-1], dtype=dt, name="mid1")(h, temb)
-        h = AttnBlock(dtype=dt, name="mid_attn")(h)
-        h = ResBlock(self.channels[-1], dtype=dt, name="mid2")(h, temb)
-        for i, ch in reversed(list(enumerate(self.channels))):
+        # UNetMidBlock2D: resnet, attention, resnet
+        h = ResnetBlock2D(self.channels[-1], dtype=dt, name="mid_res0")(h, temb)
+        h = AttentionBlock(dtype=dt, name="mid_attn")(h)
+        h = ResnetBlock2D(self.channels[-1], dtype=dt, name="mid_res1")(h, temb)
+        # up path: reversed channels/attn flags; layers_per_block+1 resnets
+        rev = tuple(reversed(self.channels))
+        rev_attn = tuple(reversed(self.attn))
+        for i, ch in enumerate(rev):
             for j in range(self.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock(ch, dtype=dt, name=f"up{i}_{j}")(h, temb)
-                if self.attn[i]:
-                    h = AttnBlock(dtype=dt, name=f"up{i}_{j}_attn")(h)
-            if i > 0:
-                n, hh, ww, c = h.shape
-                h = jax.image.resize(h, (n, hh * 2, ww * 2, c), "nearest")
-                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=dt, name=f"up{i}_conv")(h)
-        h = nn.GroupNorm(num_groups=8, dtype=dt, name="out_norm")(h)
+                h = ResnetBlock2D(ch, dtype=dt, name=f"up{i}_res{j}")(h, temb)
+                if rev_attn[i]:
+                    h = AttentionBlock(dtype=dt, name=f"up{i}_attn{j}")(h)
+            if i + 1 < len(rev):
+                # Upsample2D: nearest 2x + conv3x3
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=dt,
+                            name=f"up{i}_upsample")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dt,
+                         name="conv_norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                       kernel_init=nn.initializers.zeros, dtype=dt, name="out")(h)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=dt,
+                       name="conv_out")(h)
 
 
 def sample(

@@ -59,25 +59,32 @@ class DiffusionRecipe:
 
     def init(self, key, batch):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        t = jnp.zeros((batch["A"].shape[0],), jnp.int32)
+        # UNet params are batch- and spatial-size independent: init on a 32²
+        # single-sample dummy so unjitted init never materializes the
+        # full-resolution attention maps (eager init OOMs at 128²·batch 16).
+        sh = min(batch["A"].shape[1], 32)
+        small = lambda x: x[:1, :sh, :sh]
+        t = jnp.zeros((1,), jnp.int32)
         g_params = {}
         if self.variant != "condA":
             g_params["class_emb"] = (
                 jax.random.normal(k3, (self.num_classes, self.emb_size)) * 0.02
             )
         if self.variant == "condA":
-            a = _to_gray(batch["A"])
+            a = small(_to_gray(batch["A"]))
             g_params["unet"] = self.unet.init(k1, a, t, a)["params"]
             frozen = {}
-        elif self.variant == "label":
-            cond = self._cond(g_params, batch)
-            g_params["unet"] = self.unet.init(k1, batch["B"], t, cond)["params"]
+        else:
+            small_batch = {"A": small(batch["A"]), "LAB": batch["LAB"][:1]}
+            cond = self._cond(g_params, small_batch)
+            g_params["unet"] = self.unet.init(
+                k1, small(batch["B"]), t, cond)["params"]
             frozen = {}
-        else:  # hybrid
-            cond = self._cond(g_params, batch)
-            g_params["unet"] = self.unet.init(k1, batch["B"], t, cond)["params"]
-            g_params["G"] = self.G.init(k2, batch["A"])["params"]
-            frozen = {"lpips": self.lpips.init(k4, batch["A"], batch["B"])}
+            if self.variant == "hybrid":
+                # the pix2pix G has 6 downsamples: needs full spatial extent
+                g_params["G"] = self.G.init(k2, batch["A"][:1])["params"]
+                frozen = {"lpips": self.lpips.init(
+                    k4, batch["A"][:1], batch["B"][:1])}
         return {"g_params": g_params, "d_params": {}, "spectral": {}, "frozen": frozen}
 
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
