@@ -143,6 +143,39 @@ class TestFFTMagMSE:
         np.testing.assert_allclose(got, 0.0, atol=1e-6)
 
 
+class TestFFTMagMAE:
+    def test_matches_reference_recomputation(self):
+        """Golden vs an independent scipy/PIL recomputation of
+        ``Eurecom_MagOther.py::other_spec``: MAE of log|fftshift(fft2(gray))|
+        (the script's skimage ``window`` import is dead code; sklearn's
+        uniform-average MAE == plain mean |diff|). The script grayscales via
+        cv2 (identical ITU-R 601 weights to the PIL 'L' path our op uses)."""
+        from PIL import Image
+        from scipy.fft import fft2, fftshift
+
+        rng = np.random.RandomState(12)
+        r255 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        f255 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+
+        def want_one(r, f):
+            gr = np.asarray(Image.fromarray(r).convert("L"), np.float32)
+            gf = np.asarray(Image.fromarray(f).convert("L"), np.float32)
+            mr = np.log(np.abs(fftshift(fft2(gr))))
+            mf = np.log(np.abs(fftshift(fft2(gf))))
+            return np.mean(np.abs(mr - mf))
+
+        to = lambda x: jnp.asarray(x.astype(np.float32) / 127.5 - 1.0)
+        got = np.asarray(ops.fft_mag_mae(to(r255), to(f255)))
+        for i in range(2):
+            np.testing.assert_allclose(got[i], want_one(r255[i], f255[i]), rtol=1e-4)
+
+    def test_zero_for_identical(self):
+        rng = np.random.RandomState(13)
+        x = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        got = np.asarray(ops.fft_mag_mae(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
 class TestFaceMeshOverlay:
     def test_draw_landmarks_and_directory(self, tmp_path):
         from PIL import Image

@@ -35,6 +35,8 @@ def pair_metrics(real_b: jax.Array, fake_b: jax.Array) -> dict[str, jax.Array]:
         "ssim_gray": ops.ssim(gray_r, gray_f),
         "bhatt": ops.bhattacharyya(r255, f255),
         "fft_mag_mse": ops.fft_mag_mse(real_b, fake_b),
+        # Eurecom_MagOther.py's "other" metric: log-magnitude MAE
+        "fft_mag_mae": ops.fft_mag_mae(real_b, fake_b),
     }
 
 

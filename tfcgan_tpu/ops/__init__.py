@@ -26,5 +26,5 @@ from tfcgan_tpu.ops.color import rgb_to_hsv, hsv_to_rgb, color_jitter
 from tfcgan_tpu.ops.morphology import morphological_gradient, gray_dilation, gray_erosion
 from tfcgan_tpu.ops.warp import affine_grid, grid_sample
 from tfcgan_tpu.ops.resize import resize_bicubic_torch
-from tfcgan_tpu.ops.metrics import psnr, ssim, bhattacharyya, ncc, mutual_information, fft_mag_mse
+from tfcgan_tpu.ops.metrics import psnr, ssim, bhattacharyya, ncc, mutual_information, fft_mag_mse, fft_mag_mae
 from tfcgan_tpu.ops.saliency import saliency_mask, gaussian_blur

@@ -39,8 +39,13 @@ def fft_amp_phase(x: jax.Array, mode: str = "exact") -> tuple[jax.Array, jax.Arr
     return amp, phase
 
 
-def fft_log_magnitude(x: jax.Array, mode: str = "exact") -> jax.Array:
-    """``FFT_Components.make_spectra``: log|fftshift(fft2(gray))| (N, H, W)."""
+def fft_log_magnitude(x: jax.Array, mode: str = "eval") -> jax.Array:
+    """``FFT_Components.make_spectra``: log|fftshift(fft2(gray))| (N, H, W).
+
+    Default mode="eval": quantize [-1,1] back to the on-disk uint8 the
+    offline eval scripts read (round+clip) before grayscaling — the metric
+    path. mode="exact" reproduces the TRAINING losses' ToPILImage wraparound
+    on [-1,1] tensors instead (``quantize.rgb_to_luma_uint8``)."""
     gray = gather_spatial(rgb_to_luma_uint8(x, mode=mode))
     f = jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.float32)), axes=(-2, -1))
     return jnp.log(jnp.abs(f))

@@ -152,3 +152,14 @@ def fft_mag_mse(real: jax.Array, fake: jax.Array) -> jax.Array:
     mr = fft_log_magnitude(real)
     mf = fft_log_magnitude(fake)
     return jnp.mean(jnp.square(mr - mf), axis=(1, 2))
+
+
+def fft_mag_mae(real: jax.Array, fake: jax.Array) -> jax.Array:
+    """The ``Eurecom_MagOther.py`` "other" spectral metric: MAE of
+    log-magnitude spectra (``other_spec``/``my_wimage_fft``:
+    sklearn ``mean_absolute_error(log|fftshift(fft2(gray))|)``; the script's
+    skimage ``window`` import is dead code — no window is ever applied).
+    real/fake: (N, H, W, 3) in [-1, 1]."""
+    mr = fft_log_magnitude(real)
+    mf = fft_log_magnitude(fake)
+    return jnp.mean(jnp.abs(mr - mf), axis=(1, 2))

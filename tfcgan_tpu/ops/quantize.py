@@ -64,4 +64,14 @@ def rgb_to_luma_uint8(x: jax.Array, mode: str = "exact") -> jax.Array:
             + v[..., 1] * (_LUMA_G / 65536.0)
             + v[..., 2] * (_LUMA_B / 65536.0)
         )
+    elif mode == "eval":
+        # the OFFLINE-EVAL path: a [-1,1] image saved to PNG
+        # (clip(round((x·0.5+0.5)·255))) and re-read as uint8, then
+        # grayscaled. Distinct from "exact", which reproduces the TRAINING
+        # losses' ToPILImage-on-[-1,1] wraparound quirk — eval scripts
+        # (``eval/Eurecom/*MagMSE*.py``, ``Eurecom_MagOther.py``) never see
+        # wrapped values because they read files from disk.
+        v = (x.astype(jnp.float32) * 0.5 + 0.5) * 255.0
+        u8 = jnp.clip(jnp.round(v), 0.0, 255.0)
+        return jax.lax.stop_gradient(luma_pil(u8))
     raise ValueError(f"unknown mode {mode!r}")
