@@ -27,8 +27,12 @@ def test_dryrun_multichip_as_driver_calls_it():
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        # 4 cold XLA:CPU full-step compiles (fft_glo dp + dp×sp, stn, nemar
+        # @128²) serialized on this 1-core box; warm-cache runs take ~2 min
+        timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip dp(8):" in proc.stdout, proc.stdout
+    assert "dryrun_multichip stn-dp(8):" in proc.stdout, proc.stdout
+    assert "dryrun_multichip nemar-dp(8):" in proc.stdout, proc.stdout
     assert "dryrun_multichip dp4xsp2:" in proc.stdout, proc.stdout
