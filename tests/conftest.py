@@ -53,3 +53,27 @@ def _assert_cpu_backend():
     )
     assert jax.device_count() == 8
     yield
+
+
+# Modules that jit FULL train steps (or drive the CLI end-to-end): >35 min
+# on a cold compile cache on this 1-core box. `pytest -m "not slow"` runs
+# the op/model/kernel/metric tiers in minutes for a quick green signal;
+# run everything before committing.
+_SLOW_MODULES = {
+    "test_train",
+    "test_parity_trajectory",
+    "test_parity_cyclegan",
+    "test_parity_nemar",
+    "test_parity_stn",
+    "test_parity_thermalgan",
+    "test_parity_debiased",
+    "test_parity_diffusion",
+    "test_integration_cli",
+    "test_graft_entry",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
