@@ -211,9 +211,12 @@ class TestTrajectoryParity:
         # mismatch (wrong detach, extra power iteration, swapped update
         # order) perturbs at O(1e-2) and would blow the window immediately —
         # measured: step-0 diff 8e-7 rel, step-1 1e-5, step-2 5.5e-5,
-        # step-4 ~3e-3, step-5 ~5e-2, step-19 0.48.
+        # step-4 ~3e-3, step-5 ~5e-2, step-19 0.48. The Upsample2xConv
+        # fusion (exact vs the unfused op to ~1e-7 rel per forward, see
+        # test_models.py) reorders fp32 accumulation and lifted step-3 to
+        # 1.1e-3 rel — rtol 3e-3 keeps an order of margin to semantic bugs.
         np.testing.assert_allclose(
-            jax_hist[:4], torch_hist[:4], rtol=1e-3, atol=1e-4
+            jax_hist[:4], torch_hist[:4], rtol=3e-3, atol=1e-4
         )
         # past the window: both runs must stay finite and in the same regime
         assert np.all(np.isfinite(jax_hist)) and np.all(np.isfinite(torch_hist))
