@@ -76,7 +76,11 @@ def child_main(process_id: int, num_processes: int) -> None:
     cfg = get_experiment("fft_glo")
     cfg = cfg.replace(
         data=cfg.data.__class__(batch_size=GLOBAL_BATCH, image_size=IMAGE),
-        train=cfg.train.__class__(compute_dtype="bfloat16"),
+        # fp32: the multi-process and single-process executables reduce in
+        # different orders; bf16 noise compounds to ~1e-2 on loss_G by step 2
+        # through the G update (measured), which would drown a real semantic
+        # mismatch. fp32 keeps the equivalence assertion sharp.
+        train=cfg.train.__class__(compute_dtype="float32"),
         mesh=cfg.mesh.__class__(num_devices=n_global),
     )
     recipe = build_recipe(cfg)
@@ -175,9 +179,9 @@ def main() -> int:
             f"loss_D={r['loss_D']:.6f} (|Δ|={dd:.2e}) vs single-process"
         )
         print(line)
-        # bf16 compute, fp32 losses; identical executables modulo collective
-        # implementation (shared-memory cross-process vs intra-process)
-        if dg > 5e-3 or dd > 5e-3:
+        # fp32 end to end; the executables differ only in collective
+        # implementation (cross-process shared-memory vs intra-process)
+        if dg > 1e-3 or dd > 1e-3:
             ok = False
     print("OK: multi-process DCN losses match single-process mesh" if ok
           else "FAIL: loss mismatch")
