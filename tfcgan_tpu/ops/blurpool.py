@@ -73,7 +73,78 @@ def blur_pool(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
 
         if blur_pool_supported(x.shape, stride):
             return blur_pool_fast(x, stride)
+    if filt_size == 4 and os.environ.get("TFCGAN_BLUR_IMPL", "zerofix") == "zerofix":
+        return blur_pool_zerofix(x, stride=stride)
     return blur_pool_padded(x, stride=stride, filt_size=filt_size)
+
+
+@functools.lru_cache(maxsize=None)
+def _fix_pairs(n: int, s: int) -> tuple[tuple[int, int, int], ...]:
+    """(out_idx, in_idx, tap_idx) triples where a zero-pad filt-4 conv with
+    pad (1, 2) differs from the reflect-pad one along an axis of length n.
+
+    Output o reads input p = s·o + a − 1 for taps a ∈ 0..3; reflect maps
+    p = −1 → x[1], p = n → x[n−2], p = n+1 → x[n−3] (torch ReflectionPad2d),
+    zero-pad drops them — each triple is one dropped contribution to restore.
+    2 triples/axis at stride 2 (even n), 4 at stride 1."""
+    pairs = [(0, 1, 0)]  # p = -1 happens only at o=0, a=0
+    n_out = (n - 1) // s + 1
+    for target, src in ((n + 1, n - 2), (n + 2, n - 3)):  # p = n, n+1
+        for a in range(4):
+            o, rem = divmod(target - a, s)
+            if rem == 0 and 0 <= o < n_out:
+                pairs.append((o, src, a))
+    return tuple(pairs)
+
+
+def blur_pool_zerofix(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
+    """Reflect blur-pool as ONE zero-padded depthwise conv + O(H+W) border
+    corrections — no materialized pad (fwd) and no pad-transpose slice-add
+    cluster (bwd; ~26 ms/step of the b128 FFT-GLO profile).
+
+    Exact decomposition (B = reflect blur, Z = zero-pad conv, F = B − Z,
+    per axis):  Bh·Bw = Zh·Zw + Fh·(Zw x) + Bh·(Fw x).  The F terms touch
+    2–4 border rows/cols (``_fix_pairs``); their inputs are computed with
+    tiny 1-D convs on sliced rows/cols, so the main term is a single
+    pad-free conv. Round-2 measured this shape at 113 vs 138 ms/step but its
+    +0.3 GB peak HBM broke b128 at the old 16.3 GiB cliff; the upsample
+    fusion's 13.49 GiB peak leaves room (BASELINE.md round 3)."""
+    assert filt_size == 4, "zerofix is derived for the reference filt_size=4"
+    n, h, w, c = x.shape
+    if h < 4 or w < 4:
+        return blur_pool_padded(x, stride=stride, filt_size=filt_size)
+    dt = x.dtype
+    w1 = jnp.asarray(_binomial_1d(4), jnp.float32)
+    w1 = (w1 / jnp.sum(w1)).astype(dt)  # [1,3,3,1]/8
+    k2 = make_blur_kernel(4, dtype=dt)
+    dn = ("NHWC", "HWIO", "NHWC")
+    dw = lambda lhs, kern, strides, padding: lax.conv_general_dilated(
+        lhs, kern, window_strides=strides, padding=padding,
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    # main term: zero-pad 2-D depthwise conv, no materialized pad
+    y = dw(x, jnp.broadcast_to(k2[:, :, None, None], (4, 4, 1, c)),
+           (stride, stride), ((1, 2), (1, 2)))
+
+    kw = jnp.broadcast_to(w1[None, :, None, None], (1, 4, 1, c))
+    kh = jnp.broadcast_to(w1[:, None, None, None], (4, 1, 1, c))
+
+    # Fh(Zw x): restore dropped H-taps of the W-zero-conv at border out rows
+    hp = _fix_pairs(h, stride)
+    rows = sorted({r for _, r, _ in hp})
+    zr = dw(x[:, rows], kw, (1, stride), ((0, 0), (1, 2)))  # (n,|R|,w_out,c)
+    for o, r, a in hp:
+        y = y.at[:, o].add(w1[a] * zr[:, rows.index(r)])
+
+    # Bh(Fw x): dropped W-taps feed border out cols, then take the FULL
+    # reflect H-blur (pad rows (1,2) reflect + valid conv)
+    wp = _fix_pairs(w, stride)
+    cols = sorted({ci for _, ci, _ in wp})
+    xc = jnp.pad(x[:, :, cols], ((0, 0), (1, 2), (0, 0), (0, 0)), mode="reflect")
+    bc = dw(xc, kh, (stride, 1), ((0, 0), (0, 0)))  # (n,h_out,|C|,c)
+    for q, ci, a in wp:
+        y = y.at[:, :, q].add(w1[a] * bc[:, :, cols.index(ci)])
+    return y
 
 
 def blur_pool_padded(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:
