@@ -123,6 +123,22 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+def _use_flash(seq: int, head_dim: int) -> bool:
+    """Flash kernel on TPU (kill switch TFCGAN_FLASH_ATTN=0); the CPU backend
+    keeps the XLA chunked path so host test meshes stay torch-replica-exact.
+    ``TFCGAN_FLASH_ATTN=1`` forces the kernel (interpret mode on CPU)."""
+    import os
+
+    from tfcgan_tpu.ops.pallas_kernels.flashattn import flash_attention_supported
+
+    if not flash_attention_supported(seq, head_dim):
+        return False
+    env = os.environ.get("TFCGAN_FLASH_ATTN", "auto").lower()
+    if env in ("auto", ""):
+        return jax.default_backend() != "cpu"
+    return env not in ("0", "false")
+
+
 class AttentionBlock(nn.Module):
     """diffusers' deprecated-style spatial self-attention (what Attn*Block2D
     builds: GN(32) -> to_q/k/v Linear(bias) over HW tokens, head_dim=8,
@@ -160,6 +176,19 @@ class AttentionBlock(nn.Module):
             return jnp.einsum("nhqk,nhkd->nhqd", a, v)
 
         hw = hh * ww
+        if _use_flash(hw, self.head_dim):
+            # Pallas flash kernel: scores stay in VMEM, fwd and bwd
+            # (ops/pallas_kernels/flashattn.py). Same fp32-upcast softmax.
+            from tfcgan_tpu.ops.pallas_kernels.flashattn import flash_attention
+
+            pack = lambda z: z.transpose(0, 1, 3, 2).reshape(
+                n * heads, self.head_dim, hw)
+            out = flash_attention(pack(q), pack(k), pack(v),
+                                  self.head_dim ** -0.5)
+            out = out.reshape(n, heads, self.head_dim, hw).transpose(0, 3, 1, 2)
+            out = out.reshape(n, hw, c)
+            out = nn.Dense(c, dtype=dt, name="to_out")(out)
+            return out.reshape(n, hh, ww, c) + x
         if hw > self.q_chunk and hw % self.q_chunk == 0:
             qs = q.reshape(n, heads, hw // self.q_chunk, self.q_chunk,
                            self.head_dim).transpose(2, 0, 1, 3, 4)

@@ -1,0 +1,185 @@
+"""Flash self-attention for the diffusion UNet's spatial attention.
+
+Why a kernel: the reference's ``AttnDownBlock2D``/``AttnUpBlock2D`` attention
+(``/root/reference/TFC-Diff/prototype_condA.py:59-90`` via diffusers'
+``AttentionBlock``) runs over HW tokens with head_dim=8 — at 64² resolution
+that is a (N·heads, 4096, 4096) score matrix. The XLA path (even query-chunked
+under ``jax.checkpoint``, ``models/diffusion.AttentionBlock``) must
+materialize each fp32 score slab in HBM between the two matmuls, fwd and
+again in the rematerialized bwd: ~17 GiB written+read per attention layer per
+direction at b16 — the dominant cost of the tfc_diff step (BASELINE.md
+round 3, 505.6 ms/step).
+
+TPU-native redesign: scores never leave VMEM.
+
+- Layout is ``(BH, D, S)`` — head_dim (8) on *sublanes*, sequence on *lanes*.
+  With D=8 a q/k/v tile is exactly one fp32 (8, 128k) vreg group; the usual
+  (S, D) layout would use 8 of 128 lanes. All four matmuls in fwd+bwd then
+  contract over either D (sublanes) or S (lanes ≥ 1024) on the MXU.
+- Because D·S is tiny (8·4096 fp32 = 128 KB), each q-block kernel invocation
+  sees the FULL key/value extent: one pass, ordinary (not online) softmax,
+  still exact. No m/l scratch carry, every grid dimension parallel.
+- Softmax statistics in fp32 (the reference upcasts scores to fp32 before
+  softmax — diffusers' ``upcast_softmax=True``); probabilities are cast back
+  to the value dtype before P@V exactly as the XLA path does.
+- Backward: the standard flash decomposition from the saved logsumexp —
+  ``ds = p * (dp - di)``, ``di = Σ_d o·do`` — as two kernels, dq tiled over
+  queries and dkv tiled over keys, each recomputing its p-tile in VMEM.
+
+Used by ``models/diffusion.AttentionBlock`` on TPU (kill switch
+``TFCGAN_FLASH_ATTN=0``); the CPU backend keeps the XLA chunked path so host
+test meshes stay bit-identical to the torch replica. The kernel itself is
+validated in interpret mode by tests/test_pallas_flashattn.py and under real
+Mosaic lowering by the tfc_diff AOT check.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_BQ = 256  # query rows per fwd/dq invocation
+_BK = 128  # key rows per dkv invocation (4 (BK,S) fp32 slabs live in VMEM)
+
+
+def flash_attention_supported(seq: int, head_dim: int) -> bool:
+    """Shapes the kernel handles; callers fall back to the XLA path otherwise."""
+    return seq % _BQ == 0 and seq >= _BQ and head_dim <= 128
+
+
+def _dot_dd(a, b):  # (D, M)ᵀ(D, N) -> (M, N): contract sublane dim
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_ss(a, b):  # (D, S)·(M, S)ᵀ -> (D, M): contract lane dim
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    q = q_ref[0]  # (D, BQ)
+    k = k_ref[0]  # (D, S)
+    s = _dot_dd(q, k) * scale  # (BQ, S) fp32, lives only in VMEM
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    pn = (p / l).astype(v_ref.dtype)  # cast as the XLA path casts post-softmax
+    o_ref[0] = _dot_ss(v_ref[0], pn).astype(o_ref.dtype)  # (D, BQ)
+    lse_ref[0] = (m + jnp.log(l)).reshape(1, -1)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, scale):
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = _dot_dd(q, k) * scale               # (BQ, S)
+    p = jnp.exp(s - lse_ref[0].reshape(-1, 1))
+    dp = _dot_dd(do, v)                     # (BQ, S)
+    ds = p * (dp - di_ref[0].reshape(-1, 1)) * scale
+    dq_ref[0] = _dot_ss(k, ds).astype(dq_ref.dtype)  # (D, BQ)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *, scale):
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    st = _dot_dd(k, q) * scale              # (BK, S) — scores transposed
+    pt = jnp.exp(st - lse_ref[0])           # lse broadcasts over key rows
+    dv_ref[0] = _dot_ss(do, pt.astype(do.dtype)).astype(dv_ref.dtype)
+    dpt = _dot_dd(v, do)                    # (BK, S)
+    dst = pt * (dpt - di_ref[0]) * scale
+    dk_ref[0] = _dot_ss(q, dst).astype(dk_ref.dtype)  # (D, BK)
+
+
+def _specs(d, s, bq):
+    qs = pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i))
+    ks = pl.BlockSpec((1, d, s), lambda b, i: (b, 0, 0))
+    rs = pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i))  # per-query rows
+    return qs, ks, rs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, interpret):
+    o, _ = _flash_fwd_impl(q, k, v, scale, interpret)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, scale, interpret):
+    bh, d, s = q.shape
+    qs, ks, rs = _specs(d, s, _BQ)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
+        ],
+        grid=(bh, s // _BQ),
+        in_specs=[qs, ks, ks],
+        out_specs=[qs, rs],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+def _flash_vjp_fwd(q, k, v, scale, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, scale, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(scale, interpret, res, do):
+    q, k, v, o, lse = res
+    bh, d, s = q.shape
+    # di[i] = Σ_d o·do — cheap elementwise reduce, shared by both kernels
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=1, keepdims=True)  # (BH, 1, S)
+    qs, ks, rs = _specs(d, s, _BQ)
+    full_r = pl.BlockSpec((1, 1, s), lambda b, i: (b, 0, 0))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(bh, s // _BQ),
+        in_specs=[qs, ks, ks, qs, rs, rs],
+        out_specs=qs,
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    kt = pl.BlockSpec((1, d, _BK), lambda b, j: (b, 0, j))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        grid=(bh, s // _BK),
+        in_specs=[ks, kt, kt, ks, full_r, full_r],
+        out_specs=[kt, kt],
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """softmax(qᵀk·scale)ᵀ-weighted values, scores never materialized to HBM.
+
+    q/k/v: ``(BH, head_dim, S)`` — sequence on lanes (see module docstring).
+    Returns ``(BH, head_dim, S)`` in the input dtype. Softmax in fp32, probs
+    cast to the value dtype before P@V (diffusers' upcast_softmax semantics).
+    """
+    if interpret is None:
+        from tfcgan_tpu.ops.pallas_kernels.dispatch import default_interpret
+
+        interpret = default_interpret()
+    bh, d, s = q.shape
+    if not flash_attention_supported(s, d):
+        raise ValueError(f"unsupported attention shape (S={s}, D={d})")
+    return _flash(q, k, v, scale, interpret)
