@@ -368,3 +368,43 @@ class TestDDPMSchedule:
         got0 = np.asarray(sched.step(jnp.asarray(eps), 0, jnp.asarray(x_t), key))
         px0 = np.clip((x_t - np.sqrt(1 - abar[0]) * eps) / np.sqrt(abar[0]), -1, 1)
         np.testing.assert_allclose(got0, px0, atol=5e-5)
+
+
+class TestMaxPool22:
+    """ops.pooling.max_pool22 vs nn.max_pool (fwd bit-exact, bwd incl. ties)."""
+
+    def _rand(self, shape, seed=0):
+        x = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        # quantize to force exact ties inside many 2x2 windows (and relu-like
+        # zero plateaus), the case where tie-routing rules diverge
+        return jnp.round(x * 2.0) / 2.0
+
+    def test_forward_bit_exact(self):
+        import flax.linen as nn
+        from tfcgan_tpu.ops.pooling import max_pool22
+
+        x = self._rand((2, 16, 12, 5))
+        a = max_pool22(x)
+        b = nn.max_pool(x, (2, 2), strides=(2, 2))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_backward_matches_select_and_scatter(self):
+        import flax.linen as nn
+        from tfcgan_tpu.ops.pooling import max_pool22
+
+        x = self._rand((2, 8, 8, 3), seed=4)
+        w = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 3), jnp.float32)
+        g_new = jax.grad(lambda t: jnp.sum(w * max_pool22(t)))(x)
+        g_ref = jax.grad(
+            lambda t: jnp.sum(w * nn.max_pool(t, (2, 2), strides=(2, 2))))(x)
+        np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+
+    def test_backward_matches_torch_at_ties(self):
+        from tfcgan_tpu.ops.pooling import max_pool22
+
+        x = self._rand((1, 6, 6, 2), seed=9)
+        g_j = jax.grad(lambda t: jnp.sum(max_pool22(t) ** 2))(x)
+        xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2), requires_grad=True)
+        F.max_pool2d(xt, 2).pow(2).sum().backward()
+        np.testing.assert_array_equal(
+            np.asarray(g_j), xt.grad.numpy().transpose(0, 2, 3, 1))

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfcgan_tpu.ops.pooling import max_pool22
+
 # Published LPIPS input scaling constants.
 # numpy, not jnp, so importing the model zoo never initializes the backend
 _SHIFT = np.asarray([-0.030, -0.088, -0.188], dtype=np.float32)
@@ -50,7 +52,7 @@ class VGG16Features(nn.Module):
         h = x.astype(self.dtype)
         for item in _VGG_CFG:
             if item == "M":
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                h = max_pool22(h)  # elementwise backward (ops/pooling.py)
                 continue
             conv_idx += 1
             h = nn.Conv(
