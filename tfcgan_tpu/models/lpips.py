@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tfcgan_tpu.ops.pooling import max_pool22
+from tfcgan_tpu.ops.pooling import pool22
 
 # Published LPIPS input scaling constants.
 # numpy, not jnp, so importing the model zoo never initializes the backend
@@ -52,7 +52,7 @@ class VGG16Features(nn.Module):
         h = x.astype(self.dtype)
         for item in _VGG_CFG:
             if item == "M":
-                h = max_pool22(h)  # elementwise backward (ops/pooling.py)
+                h = pool22(h)  # perf-knob dispatch (ops/pooling.py)
                 continue
             conv_idx += 1
             h = nn.Conv(

@@ -26,7 +26,7 @@ import numpy as np
 from tfcgan_tpu.models.layers import TorchConv
 from tfcgan_tpu.models.vit import ViT
 from tfcgan_tpu.ops.norm import instance_norm
-from tfcgan_tpu.ops.pooling import max_pool22
+from tfcgan_tpu.ops.pooling import pool22
 from tfcgan_tpu.ops.warp import affine_grid, grid_sample, warp_affine
 
 # numpy, not jnp: module-level device constants would initialize the JAX
@@ -125,7 +125,7 @@ class CNNAffineSTN(nn.Module):
             )(x)
             x = instance_norm(x)
             x = nn.relu(x)
-            x = max_pool22(x)  # elementwise backward (ops/pooling.py)
+            x = pool22(x)  # perf-knob dispatch (ops/pooling.py)
             nf = min(2 * nf, self.max_nf)
         flat = x.reshape(x.shape[0], -1)
         h = nn.Dense(nf, dtype=self.dtype, name="fc1")(flat)
@@ -187,7 +187,7 @@ class DeformableSTN(nn.Module):
                           dtype=self.dtype, name=f"down{i}")(x)
             x = nn.leaky_relu(x, 0.2)
             skips.append(x)
-            x = max_pool22(x)  # elementwise backward (ops/pooling.py)
+            x = pool22(x)  # perf-knob dispatch (ops/pooling.py)
         nf = self.down_nf[-1]
         x = TorchConv(2 * nf, kernel_size=(1, 1), padding=((0, 0), (0, 0)),
                       dtype=self.dtype, name="c1")(x)

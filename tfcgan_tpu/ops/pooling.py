@@ -1,12 +1,20 @@
-"""2×2/stride-2 max-pool with an elementwise backward.
+"""2×2/stride-2 max-pool with an elementwise backward (OPT-IN).
 
-``nn.max_pool``'s VJP lowers to XLA's SelectAndScatter thunk, which the TPU
-backend executes far off the elementwise roofline; VGG16's four pools sit on
-the LPIPS backward path of every FFT-family G step
+``nn.max_pool``'s VJP lowers to XLA's SelectAndScatter thunk; VGG16's four
+pools sit on the LPIPS backward path of every FFT-family G step
 (``/root/reference/TFC-GAN-FFT/TFCGAN_multigpu_globalFFT.py:71-74,492`` —
 LPIPS is the reference's heaviest loss term). For the non-overlapping 2×2/2
 window the scatter is just "route the cotangent to the first max of each
 2×2 block": a reshape + compare + where, all fusable elementwise work.
+
+**Measured in situ it is a REGRESSION** (same lesson as the Pallas
+blur-pool): the fft_glo b128 full step went 396 → 424.5 ms/step on v5e
+(bench 322.96 → 302.93 img/s, confirmed by the device-timeline profile).
+The (N, H/2, 2, W/2, 2, C) reshape splits W — a minor, lane-adjacent dim —
+so Mosaic inserts relayout copies that cost more than SelectAndScatter
+saves. ``pool22`` therefore dispatches to XLA's ``nn.max_pool`` by default;
+set ``TFCGAN_ELEMENTWISE_MAXPOOL=1`` to opt in (e.g. on backends where
+SelectAndScatter is the bottleneck).
 
 Forward is bit-identical to ``nn.max_pool``. Backward matches XLA's (and
 torch's) tie rule — the FIRST maximum in row-major window order wins —
@@ -16,6 +24,9 @@ verified against ``jax.grad`` of ``nn.max_pool`` including crafted ties
 
 from __future__ import annotations
 
+import os
+
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -50,3 +61,14 @@ def _bwd(h, g):
 
 
 max_pool22.defvjp(_fwd, _bwd)
+
+
+def pool22(h: jax.Array) -> jax.Array:
+    """2×2/2 max-pool; XLA ``nn.max_pool`` unless TFCGAN_ELEMENTWISE_MAXPOOL=1.
+
+    Read at trace time (like TFCGAN_PALLAS_BLUR); both paths are bit-identical
+    in forward and gradient, so the flag is purely a performance knob.
+    """
+    if os.environ.get("TFCGAN_ELEMENTWISE_MAXPOOL", "0") == "1":
+        return max_pool22(h)
+    return nn.max_pool(h, (2, 2), strides=(2, 2))
