@@ -408,3 +408,16 @@ class TestMaxPool22:
         F.max_pool2d(xt, 2).pow(2).sum().backward()
         np.testing.assert_array_equal(
             np.asarray(g_j), xt.grad.numpy().transpose(0, 2, 3, 1))
+
+    def test_pool22_dispatch_flag(self, monkeypatch):
+        """pool22 is a pure perf knob: both paths identical in fwd + grad."""
+        from tfcgan_tpu.ops import pooling
+
+        x = self._rand((2, 8, 8, 3), seed=11)
+        loss = lambda t: jnp.sum(pooling.pool22(t) ** 2)  # noqa: E731
+        monkeypatch.setenv("TFCGAN_ELEMENTWISE_MAXPOOL", "0")
+        y0, g0 = loss(x), jax.grad(loss)(x)
+        monkeypatch.setenv("TFCGAN_ELEMENTWISE_MAXPOOL", "1")
+        y1, g1 = loss(x), jax.grad(loss)(x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
