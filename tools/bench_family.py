@@ -24,9 +24,9 @@ DEFAULTS = {
     "fft_patch_16": (256, 96),
     "fft_glo_16p": (256, 96),
     "stn_newmodel3": (256, 32),
-    "thermalgan": (256, 16),
+    "thermalgan": (256, 64),   # b16 was occupancy-bound: 558.7 -> 737.5 img/s
     "cyclegan": (128, 16),
-    "nemar": (128, 16),
+    "nemar": (128, 64),        # +2% over b16 (385.2 vs 377.2)
     "tfc_diff": (128, 32),
 }
 
