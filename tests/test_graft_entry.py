@@ -6,6 +6,13 @@ under ``if __name__ == "__main__"``, so the driver's direct call initialized
 the axon TPU backend and died. This test runs the exact driver call in a
 subprocess with JAX_PLATFORMS/XLA_FLAGS stripped, so it fails if the pinning
 ever migrates out of ``dryrun_multichip`` again.
+
+Round-3 failure mode (VERDICT.md Weak #1): the widened dryrun blew the
+driver's wall-clock on a cold host and its stn stage SIGABRTed in XLA:CPU's
+collective rendezvous. The contract is now: the two PROVEN stages (dp,
+dp x sp) must always run; the stn/nemar extras must each either run or be
+LOUDLY skipped under the TFCGAN_DRYRUN_BUDGET; and every progress line is
+flushed with an elapsed-seconds stamp.
 """
 
 import os
@@ -15,24 +22,46 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_dryrun_multichip_as_driver_calls_it():
+def _run(extra_env=None, timeout=1500):
     env = {
         k: v
         for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
     }
-    proc = subprocess.run(
+    env.update(extra_env or {})
+    return subprocess.run(
         [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO,
         env=env,
         capture_output=True,
         text=True,
-        # 4 cold XLA:CPU full-step compiles (fft_glo dp + dp×sp, stn, nemar
-        # @128²) serialized on this 1-core box; warm-cache runs take ~2 min
-        timeout=1500,
+        timeout=timeout,
     )
+
+
+def _stage_reported(stdout: str, tag: str) -> bool:
+    """A stage is reported when it either ran (loss line) or loudly skipped."""
+    ran = f"{tag}: loss_G=" in stdout
+    skipped = f"{tag}: SKIPPED" in stdout
+    return ran or skipped
+
+
+def test_dryrun_multichip_as_driver_calls_it():
+    # warm-cache runs finish in ~2 min; cold is bounded by the budget itself
+    proc = _run()
     assert proc.returncode == 0, proc.stderr[-4000:]
-    assert "dryrun_multichip dp(8):" in proc.stdout, proc.stdout
-    assert "dryrun_multichip stn-dp(8):" in proc.stdout, proc.stdout
-    assert "dryrun_multichip nemar-dp(8):" in proc.stdout, proc.stdout
-    assert "dryrun_multichip dp4xsp2:" in proc.stdout, proc.stdout
+    # proven stages must RUN (these are what MULTICHIP_r02 passed with)
+    assert "dp(8): loss_G=" in proc.stdout, proc.stdout
+    assert "dp4xsp2: loss_G=" in proc.stdout, proc.stdout
+    # extras must be reported either way (run or loudly skipped)
+    assert _stage_reported(proc.stdout, "stn-dp(8)"), proc.stdout
+    assert _stage_reported(proc.stdout, "nemar-dp(8)"), proc.stdout
+
+
+def test_dryrun_budget_skips_extras_loudly():
+    """With an already-spent budget the extras must skip, not run or die."""
+    proc = _run(extra_env={"TFCGAN_DRYRUN_BUDGET": "0"})
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dp(8): loss_G=" in proc.stdout, proc.stdout
+    assert "stn-dp(8): SKIPPED (budget" in proc.stdout, proc.stdout
+    assert "nemar-dp(8): SKIPPED (budget" in proc.stdout, proc.stdout
