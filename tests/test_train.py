@@ -688,3 +688,89 @@ class TestResumeBitExact:
         # idempotent re-save of the same step
         assert mgr.save(restored) == path
         mgr.close()
+
+
+class TestSinglePassD:
+    """TFCGAN_SINGLE_PASS_D is a pure perf knob: concatenating (fake, real)
+    into one spectral-norm PatchGAN forward per phase is the same math as the
+    reference's two-forward form (``globalFFT.py:458-460,519-526``) — no
+    cross-batch coupling anywhere in D (VERDICT r3 weak #3). Losses and D
+    logits must match tightly; gradients only to ~1e-3 relative, because the
+    batch-16 conv backward accumulates in a different order than two batch-8
+    ones (fp32 reduction-order noise, max observed 1.8e-4 on grads of
+    magnitude ~400)."""
+
+    def _logits(self, monkeypatch, flag):
+        monkeypatch.setenv("TFCGAN_SINGLE_PASS_D", flag)
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = recipe.init(jax.random.PRNGKey(0), batch)
+        if flag == "1":
+            pf, pr = recipe._disc_pair(
+                state["d_params"], state["spectral"], batch["B"], batch["B"][::-1],
+                batch["A"])
+        else:
+            pf = recipe._disc(state["d_params"], state["spectral"], batch["B"],
+                              batch["A"])
+            pr = recipe._disc(state["d_params"], state["spectral"],
+                              batch["B"][::-1], batch["A"])
+        return np.asarray(pf), np.asarray(pr)
+
+    def _losses_and_grads(self, monkeypatch, flag):
+        monkeypatch.setenv("TFCGAN_SINGLE_PASS_D", flag)
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = recipe.init(jax.random.PRNGKey(0), batch)
+        rng = jax.random.PRNGKey(7)
+
+        def g_total(gp):
+            total, _ = recipe.g_loss(
+                gp, state["d_params"], state["spectral"], state["frozen"],
+                batch, rng)
+            return total
+
+        g_val, g_grad = jax.value_and_grad(g_total)(state["g_params"])
+        _, (aux, _) = recipe.g_loss(
+            state["g_params"], state["d_params"], state["spectral"],
+            state["frozen"], batch, rng)
+
+        def d_total(dp):
+            loss, _ = recipe.d_loss(dp, state["spectral"], aux, batch, rng)
+            return loss
+
+        d_val, d_grad = jax.value_and_grad(d_total)(state["d_params"])
+        return (np.asarray(g_val), jax.device_get(g_grad),
+                np.asarray(d_val), jax.device_get(d_grad))
+
+    def test_logits_identical(self, monkeypatch):
+        pf1, pr1 = self._logits(monkeypatch, "1")
+        pf0, pr0 = self._logits(monkeypatch, "0")
+        np.testing.assert_allclose(pf1, pf0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(pr1, pr0, rtol=1e-5, atol=1e-6)
+
+    def test_dispatch_is_pure_perf_knob(self, monkeypatch):
+        gv1, gg1, dv1, dg1 = self._losses_and_grads(monkeypatch, "1")
+        gv0, gg0, dv0, dg0 = self._losses_and_grads(monkeypatch, "0")
+        np.testing.assert_allclose(gv1, gv0, rtol=1e-6)
+        np.testing.assert_allclose(dv1, dv0, rtol=1e-6)
+        # grads: compare at each leaf's own scale — conv-backward reduction
+        # order differs between one batch-16 and two batch-8 convs, giving
+        # elementwise noise ~1e-3 relative on near-zero elements of tensors
+        # whose magnitudes span 1e-2..1e5 (logits above pin exact semantics)
+        for t1, t0 in ((gg1, gg0), (dg1, dg0)):
+            for l1, l0 in zip(jax.tree_util.tree_leaves(t1),
+                              jax.tree_util.tree_leaves(t0)):
+                scale = max(float(np.max(np.abs(l0))), 1e-6)
+                err = float(np.max(np.abs(np.asarray(l1) - np.asarray(l0)))) / scale
+                assert err < 1e-4, (err, scale)
+
+    def test_per_forward_cadence_forces_two_pass(self, monkeypatch):
+        monkeypatch.setenv("TFCGAN_SINGLE_PASS_D", "1")
+        cfg = small_cfg()
+        cfg = cfg.replace(extra={**cfg.extra, "spectral_cadence": "per_forward"})
+        recipe = build_recipe(cfg)
+        assert recipe._single_pass_d() is False

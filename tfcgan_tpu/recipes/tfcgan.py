@@ -34,7 +34,12 @@ from tfcgan_tpu.models import (
     PatchDiscriminator,
 )
 from tfcgan_tpu.models.layers import spectral_power_iteration
-from tfcgan_tpu.models.lpips import load_lpips_params, resolve_perceptual
+from tfcgan_tpu.models.lpips import (
+    load_lpips_params,
+    resolve_lpips_weights,
+    resolve_perceptual,
+    resolve_resnet_weights,
+)
 from tfcgan_tpu.models.resnet import ResNet18
 from tfcgan_tpu.ops.fftloss import fft_amp_phase
 from tfcgan_tpu.ops.perceptual import multiscale_recon
@@ -249,7 +254,7 @@ class TFCGANRecipe:
             if self.axes["regional"]:
                 # with converted torchvision weights the backbone runs in
                 # BN-folded form (see models/resnet.py); GroupNorm otherwise
-                nrm = "folded" if lc.resnet_weights else "gn"
+                nrm = "folded" if resolve_resnet_weights(lc) else "gn"
                 self.cnn_hair = ResNet18(num_classes=lc.num_classes, dtype=dt, norm=nrm)
                 self.cnn_eyes = ResNet18(num_classes=lc.num_classes, dtype=dt, norm=nrm)
             else:
@@ -277,8 +282,9 @@ class TFCGANRecipe:
             d_vars = self.D.init(kd, a, b)
         frozen = {}
         if self.lpips is not None:
-            if lc.lpips_weights:
-                frozen["lpips"] = load_lpips_params(lc.lpips_weights)
+            lw = resolve_lpips_weights(lc)
+            if lw:
+                frozen["lpips"] = load_lpips_params(lw)
             else:
                 frozen["lpips"] = self.lpips.init(kl, a, b)
         g_params = {"G": g_vars["params"]}
@@ -291,10 +297,11 @@ class TFCGANRecipe:
             hair = a[:, 0 : round(100 * a.shape[1] / 256), :, :]
             full_h = dict(self.cnn_hair.init(kh, hair)["params"])
             full_e = dict(self.cnn_eyes.init(ke, hair)["params"])
-            if lc.resnet_weights:
+            rw = resolve_resnet_weights(lc)
+            if rw:
                 from tfcgan_tpu.models.resnet import load_resnet18_backbone
 
-                bb = load_resnet18_backbone(lc.resnet_weights)
+                bb = load_resnet18_backbone(rw)
                 full_h = {**full_h, **bb}
                 full_e = {**full_e, **dict(bb)}
             fc_h, fc_e = full_h.pop("fc"), full_e.pop("fc")
@@ -347,6 +354,36 @@ class TFCGANRecipe:
         )
         return out  # logits, or (logits, probs) when conditional
 
+    def _single_pass_d(self) -> bool:
+        """Concatenate the (fake, real) pair into ONE D forward per phase.
+
+        A spectral-norm PatchGAN has no cross-batch coupling (fixed-σ convs,
+        InstanceNorm per sample, blur-pool per sample), so batching the two
+        forwards of ``globalFFT.py:458-460,519-526`` is numerically identical
+        while halving D weight reads and launches (D was 182 ms/step in the
+        round-2 profile). Inapplicable to the per-forward spectral cadence,
+        where u/v must advance BETWEEN the two forwards. Knob:
+        TFCGAN_SINGLE_PASS_D (trace-time; see BASELINE.md round 4 for the
+        measured delta); parity of the two forms is pinned by
+        tests/test_train.py."""
+        import os
+
+        if self.per_forward_spectral:
+            return False
+        return os.environ.get("TFCGAN_SINGLE_PASS_D", "1") not in ("0", "false")
+
+    def _disc_pair(self, d_params, spectral, first, second, cond):
+        """(D(first|cond), D(second|cond)) via ONE concatenated forward —
+        only valid under the per-step spectral cadence (u/v fixed across the
+        phase), which ``_single_pass_d`` guarantees."""
+        both = self._disc(
+            d_params, spectral,
+            jnp.concatenate([first, second], axis=0),
+            jnp.concatenate([cond, cond], axis=0),
+        )
+        n = first.shape[0]
+        return both[:n], both[n:]
+
     def _advance_spectral(self, d_params, spectral):
         """Per-forward cadence: one u/v power iteration in torch's
         parametrizations order BEFORE a D forward (no-op on the per-step
@@ -393,12 +430,17 @@ class TFCGANRecipe:
             pred_real, _ = self._disc(d_params, spectral, b, a)
         else:
             fake_b = self._gen(g_params, batch, k_drop, deterministic=det)
-            # reference forward order in the G phase: D(fake) then D(real)
-            # (``globalFFT.py:458-459``) — u/v advance before each
-            spectral = self._advance_spectral(d_params, spectral)
-            pred_fake = self._disc(d_params, spectral, fake_b, a)
-            spectral = self._advance_spectral(d_params, spectral)
-            pred_real = self._disc(d_params, spectral, b, a)
+            if self._single_pass_d():
+                pred_fake, pred_real = self._disc_pair(
+                    d_params, spectral, fake_b, b, a
+                )
+            else:
+                # reference forward order in the G phase: D(fake) then D(real)
+                # (``globalFFT.py:458-459``) — u/v advance before each
+                spectral = self._advance_spectral(d_params, spectral)
+                pred_fake = self._disc(d_params, spectral, fake_b, a)
+                spectral = self._advance_spectral(d_params, spectral)
+                pred_real = self._disc(d_params, spectral, b, a)
         adv = ops.relativistic_g_loss(pred_fake, pred_real, cfg.label_smooth)
         total = cfg.adv_weight * adv
         metrics["g_adv"] = adv
@@ -495,6 +537,8 @@ class TFCGANRecipe:
             pred_real, probs_r = self._disc(d_params, spectral, b, a)
             spectral = self._advance_spectral(d_params, spectral)
             pred_fake, probs_f = self._disc(d_params, spectral, fake_b, a)
+        elif self._single_pass_d():
+            pred_real, pred_fake = self._disc_pair(d_params, spectral, b, fake_b, a)
         else:
             spectral = self._advance_spectral(d_params, spectral)
             pred_real = self._disc(d_params, spectral, b, a)
