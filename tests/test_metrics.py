@@ -176,6 +176,35 @@ class TestFFTMagMAE:
         np.testing.assert_allclose(got, 0.0, atol=1e-6)
 
 
+class TestFFTLogMagnitudeDegenerate:
+    def test_constant_image_is_finite(self):
+        """Regression (VERDICT r3 weak #7): log|fft| of a constant image is
+        -inf in every non-DC bin, which propagated NaNs into infer.py's
+        spectra normalization. The op floors |f| at float32 tiny."""
+        from tfcgan_tpu.ops.fftloss import fft_log_magnitude
+
+        const = jnp.full((1, 16, 16, 3), 0.5, jnp.float32)
+        spec = np.asarray(fft_log_magnitude(const))
+        assert np.all(np.isfinite(spec)), spec
+        # and the infer.py normalization over it stays NaN-free
+        lo, hi = spec.min(), spec.max()
+        norm = (spec - lo) / max(hi - lo, 1e-9) * 2 - 1
+        assert np.all(np.isfinite(norm))
+
+    def test_floor_does_not_perturb_nondegenerate(self):
+        from scipy.fft import fft2, fftshift
+        from PIL import Image
+        from tfcgan_tpu.ops.fftloss import fft_log_magnitude
+
+        rng = np.random.RandomState(21)
+        r255 = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        gray = np.asarray(Image.fromarray(r255).convert("L"), np.float32)
+        want = np.log(np.abs(fftshift(fft2(gray))))
+        x = jnp.asarray(r255.astype(np.float32) / 127.5 - 1.0)[None]
+        got = np.asarray(fft_log_magnitude(x))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 class TestFaceMeshOverlay:
     def test_draw_landmarks_and_directory(self, tmp_path):
         from PIL import Image

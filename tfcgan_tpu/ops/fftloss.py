@@ -48,7 +48,12 @@ def fft_log_magnitude(x: jax.Array, mode: str = "eval") -> jax.Array:
     on [-1,1] tensors instead (``quantize.rgb_to_luma_uint8``)."""
     gray = gather_spatial(rgb_to_luma_uint8(x, mode=mode))
     f = jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.float32)), axes=(-2, -1))
-    return jnp.log(jnp.abs(f))
+    # Floor |f| at the smallest positive normal: a constant image has |f|=0
+    # everywhere but DC, and log(0) = -inf poisoned downstream normalization
+    # with NaNs (infer.py spectra rendering). For any non-degenerate image
+    # |f| >> tiny so the metric value is bit-identical to the reference's
+    # np.log(np.abs(...)) (``Eurecom_MagMSE.py:121-134``).
+    return jnp.log(jnp.maximum(jnp.abs(f), jnp.finfo(jnp.float32).tiny))
 
 
 def fft_l1_loss(
