@@ -115,13 +115,44 @@ def load_lpips_params(path: str):
         return serialization.from_bytes(template, f.read())
 
 
+_WEIGHTS_ENV = {"lpips": "TFCGAN_LPIPS_WEIGHTS", "resnet": "TFCGAN_RESNET_WEIGHTS"}
+_WEIGHTS_NAME = {"lpips": "lpips_flax.msgpack", "resnet": "resnet18_flax.msgpack"}
+
+
+def default_weights_path(kind: str) -> str:
+    """Auto-discover converted pretrained weights (turnkey drop-in, README
+    'Pretrained weights'): ``$TFCGAN_LPIPS_WEIGHTS``/``$TFCGAN_RESNET_WEIGHTS``
+    if set, else ``<repo>/weights/{lpips,resnet18}_flax.msgpack`` next to the
+    package. Returns "" when nothing exists — callers then fall back to the
+    weight-free paths (msrecon anchor / GroupNorm ResNet)."""
+    import os
+
+    env = os.environ.get(_WEIGHTS_ENV[kind], "")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(here, "weights", _WEIGHTS_NAME[kind])
+    return cand if os.path.exists(cand) else ""
+
+
+def resolve_lpips_weights(loss_cfg) -> str:
+    """Explicit ``LossConfig.lpips_weights`` wins; else auto-discovery."""
+    return getattr(loss_cfg, "lpips_weights", "") or default_weights_path("lpips")
+
+
+def resolve_resnet_weights(loss_cfg) -> str:
+    """Explicit ``LossConfig.resnet_weights`` wins; else auto-discovery."""
+    return getattr(loss_cfg, "resnet_weights", "") or default_weights_path("resnet")
+
+
 def resolve_perceptual(loss_cfg) -> str:
     """Resolve LossConfig.perceptual: 'auto' -> 'lpips' iff converted weights
-    exist at ``loss_cfg.lpips_weights``, else the fixed 'msrecon' anchor."""
+    exist (``loss_cfg.lpips_weights`` or the auto-discovered drop-in path),
+    else the fixed 'msrecon' anchor."""
     import os
 
     mode = getattr(loss_cfg, "perceptual", "lpips")
     if mode != "auto":
         return mode
-    path = getattr(loss_cfg, "lpips_weights", "")
+    path = resolve_lpips_weights(loss_cfg)
     return "lpips" if (path and os.path.exists(path)) else "msrecon"

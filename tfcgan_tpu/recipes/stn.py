@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from tfcgan_tpu import ops
 from tfcgan_tpu.config import ExperimentConfig
 from tfcgan_tpu.models import AffineSTN, GeneratorUNet, LPIPS, PatchDiscriminator
-from tfcgan_tpu.models.lpips import load_lpips_params, resolve_perceptual
+from tfcgan_tpu.models.lpips import (
+    load_lpips_params,
+    resolve_lpips_weights,
+    resolve_perceptual,
+)
 from tfcgan_tpu.models.stn import LocalizerViT
 from tfcgan_tpu.models.vit import ViT
 from tfcgan_tpu.ops.perceptual import multiscale_recon
@@ -143,8 +147,9 @@ class STNRecipe:
         stn = self.STN.init(k5, a, a, b)
         frozen = {}
         if self.lpips is not None:
-            if self.cfg.loss.lpips_weights:
-                frozen["lpips"] = load_lpips_params(self.cfg.loss.lpips_weights)
+            lw = resolve_lpips_weights(self.cfg.loss)
+            if lw:
+                frozen["lpips"] = load_lpips_params(lw)
             else:
                 frozen["lpips"] = self.lpips.init(k6, a, b)
         return {
