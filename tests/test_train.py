@@ -774,3 +774,30 @@ class TestSinglePassD:
         cfg = cfg.replace(extra={**cfg.extra, "spectral_cadence": "per_forward"})
         recipe = build_recipe(cfg)
         assert recipe._single_pass_d() is False
+
+
+class TestSTNSinglePassD:
+    def test_d_pair_matches_two_forwards(self, monkeypatch):
+        """STN heads: one concatenated D forward == two forwards (logits)."""
+        cfg = get_experiment("stn_newmodel3")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=4, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            extra={**cfg.extra, "vit_depth": 1, "vit_dim": 64, "vit_heads": 2,
+                   "vit_mlp": 64, "fast_warp": False},
+        )
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=4, image_size=64)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = recipe.init(jax.random.PRNGKey(0), batch)
+
+        monkeypatch.setenv("TFCGAN_SINGLE_PASS_D", "1")
+        f1, r1 = recipe._d_pair(state["d_params"], state["spectral"], "D1",
+                                batch["B"], batch["A"], batch["A"])
+        monkeypatch.setenv("TFCGAN_SINGLE_PASS_D", "0")
+        f0, r0 = recipe._d_pair(state["d_params"], state["spectral"], "D1",
+                                batch["B"], batch["A"], batch["A"])
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                                   rtol=1e-5, atol=1e-6)

@@ -179,23 +179,50 @@ class STNRecipe:
                                 deterministic=det, rngs={"dropout": kg3})
         return fake_b, fake_a1, warped_b, fake_a2
 
+    @staticmethod
+    def _single_pass_d() -> bool:
+        """Concatenate each head's (fake, real) pair into one D forward —
+        same math for a spectral-norm PatchGAN (no cross-batch coupling),
+        half the D weight reads/launches. Mirrors the tfcgan recipe's knob
+        (TFCGAN_SINGLE_PASS_D, trace-time; default on for accelerators, off
+        on CPU for the torch lockstep tests); the STN trainer always advances
+        spectral u/v once per step, so the cadence caveat never applies."""
+        import os
+
+        default = "0" if jax.default_backend() == "cpu" else "1"
+        return os.environ.get("TFCGAN_SINGLE_PASS_D", default) not in ("0", "false")
+
+    def _d_apply(self, d_params, spectral, name, img, cond):
+        return self.D1.apply(
+            {"params": d_params[name], "spectral": spectral[name]}, img, cond
+        )
+
+    def _d_pair(self, d_params, spectral, name, first, second, cond):
+        """(D(first|cond), D(second|cond)) for head ``name`` — one
+        concatenated forward when ``_single_pass_d()``."""
+        if self._single_pass_d():
+            both = self._d_apply(
+                d_params, spectral, name,
+                jnp.concatenate([first, second], axis=0),
+                jnp.concatenate([cond, cond], axis=0),
+            )
+            n = first.shape[0]
+            return both[:n], both[n:]
+        return (
+            self._d_apply(d_params, spectral, name, first, cond),
+            self._d_apply(d_params, spectral, name, second, cond),
+        )
+
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
         cfg = self.cfg.loss
         a, b = batch["A"], batch["B"]
         fake_b, fake_a1, warped_b, fake_a2 = self._forward(g_params, batch, rng)
 
-        def d_apply(name, img, cond):
-            return self.D1.apply(
-                {"params": d_params[name], "spectral": spectral[name]}, img, cond
-            )
-
         # relativistic G losses (global_gen_loss :480-490)
-        adv1 = ops.relativistic_g_loss(
-            d_apply("D1", fake_b, a), d_apply("D1", b, a), cfg.label_smooth
-        )
-        adv2 = ops.relativistic_g_loss(
-            d_apply("D2", fake_a2, b), d_apply("D2", a, b), cfg.label_smooth
-        )
+        p1f, p1r = self._d_pair(d_params, spectral, "D1", fake_b, b, a)
+        adv1 = ops.relativistic_g_loss(p1f, p1r, cfg.label_smooth)
+        p2f, p2r = self._d_pair(d_params, spectral, "D2", fake_a2, a, b)
+        adv2 = ops.relativistic_g_loss(p2f, p2r, cfg.label_smooth)
         adv = adv1 + adv2
         if self.variant == "dark_visible":
             # recon anchors the WARP to the G1 output, not fake_A to real_A
@@ -238,20 +265,15 @@ class STNRecipe:
         cfg = self.cfg.loss
         a, b = batch["A"], batch["B"]
 
-        def d_apply(name, img, cond):
-            return self.D1.apply(
-                {"params": d_params[name], "spectral": spectral[name]}, img, cond
-            )
-
         # global_disc_loss (:492-507): 0.25 per head (DarkVisible: 1.0,
         # ``Eur_DarkVisible.py:510-526``), then 0.5 overall
+        p1r, p1f = self._d_pair(d_params, spectral, "D1", b, aux["fake_b"], a)
         d1 = ops.relativistic_d_loss(
-            d_apply("D1", b, a), d_apply("D1", aux["fake_b"], a),
-            cfg.label_smooth, weight=self.d_head_weight,
+            p1r, p1f, cfg.label_smooth, weight=self.d_head_weight,
         )
+        p2r, p2f = self._d_pair(d_params, spectral, "D2", a, aux["fake_a2"], b)
         d2 = ops.relativistic_d_loss(
-            d_apply("D2", a, b), d_apply("D2", aux["fake_a2"], b),
-            cfg.label_smooth, weight=self.d_head_weight,
+            p2r, p2f, cfg.label_smooth, weight=self.d_head_weight,
         )
         loss = 0.5 * (d1 + d2)
         return loss, {"loss_D": loss, "d1": d1, "d2": d2}

@@ -363,14 +363,17 @@ class TFCGANRecipe:
         while halving D weight reads and launches (D was 182 ms/step in the
         round-2 profile). Inapplicable to the per-forward spectral cadence,
         where u/v must advance BETWEEN the two forwards. Knob:
-        TFCGAN_SINGLE_PASS_D (trace-time; see BASELINE.md round 4 for the
-        measured delta); parity of the two forms is pinned by
-        tests/test_train.py."""
+        TFCGAN_SINGLE_PASS_D (trace-time; default on for accelerators, off on
+        CPU so the torch lockstep tests keep the reference's exact forward
+        structure and fp32 reduction grouping — the two forms differ only by
+        conv-backward accumulation order, tests/test_train.py). See
+        BASELINE.md round 4 for the measured on-chip delta."""
         import os
 
         if self.per_forward_spectral:
             return False
-        return os.environ.get("TFCGAN_SINGLE_PASS_D", "1") not in ("0", "false")
+        default = "0" if jax.default_backend() == "cpu" else "1"
+        return os.environ.get("TFCGAN_SINGLE_PASS_D", default) not in ("0", "false")
 
     def _disc_pair(self, d_params, spectral, first, second, cond):
         """(D(first|cond), D(second|cond)) via ONE concatenated forward —
