@@ -54,6 +54,7 @@ def test_dryrun_multichip_as_driver_calls_it():
     assert "dp(8): loss_G=" in proc.stdout, proc.stdout
     assert "dp4xsp2: loss_G=" in proc.stdout, proc.stdout
     # extras must be reported either way (run or loudly skipped)
+    assert _stage_reported(proc.stdout, "tp-dp4xtp2"), proc.stdout
     assert _stage_reported(proc.stdout, "stn-dp(8)"), proc.stdout
     assert _stage_reported(proc.stdout, "nemar-dp(8)"), proc.stdout
 

@@ -356,6 +356,62 @@ class TestSpatialMesh:
             )
 
 
+class TestTensorMesh:
+    """dp×tp: conv out-channels / dense out-features sharded over a 'tensor'
+    mesh axis (parallel.mesh.param_sharding); GSPMD inserts the activation
+    collectives. The reference has no model parallelism at all (SURVEY §2.8:
+    nn.DataParallel only) — this is TPU-native extra capability."""
+
+    def test_dp_x_tensor_step_and_memory(self):
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        cfg = small_cfg("fft_glo")
+        cfg = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, tensor=2))
+        recipe = build_recipe(cfg)
+        trainer = Trainer(cfg, recipe, mesh=make_mesh(8, tensor=2))
+        assert trainer.mesh.axis_names == ("data", "tensor")
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        # a G conv kernel is really sharded: each device holds half the
+        # out-channels (weight memory ~1/tensor — the point of the axis)
+        kern = state.g_params["G"]["down1"]["conv"]["kernel"]
+        assert len(kern.sharding.device_set) == 8
+        shard_shape = kern.addressable_shards[0].data.shape
+        assert shard_shape[-1] * 2 == kern.shape[-1], (shard_shape, kern.shape)
+        # Adam mirrors follow the same rule
+        mu_kern = state.g_opt_state[0].mu["G"]["down1"]["conv"]["kernel"]
+        assert mu_kern.addressable_shards[0].data.shape[-1] * 2 == mu_kern.shape[-1]
+        step = trainer.compiled_step()
+        state, metrics = step(state, shard_batch(batch, trainer.mesh))
+        assert np.isfinite(float(metrics["loss_G"]))
+        assert np.isfinite(float(metrics["loss_D"]))
+        # params keep their tensor sharding across the donated-state update
+        kern1 = state.g_params["G"]["down1"]["conv"]["kernel"]
+        assert kern1.addressable_shards[0].data.shape[-1] * 2 == kern1.shape[-1]
+
+    def test_dp_x_tensor_matches_dp(self):
+        """Sharding weights over the tensor axis must not change the math:
+        one step on dp8 and on dp4×tp2 from identical inits, losses equal."""
+        from tfcgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        cfg = small_cfg("fft_glo")
+        batch = synthetic_batch(batch_size=8, image_size=64)
+        results = {}
+        for tensor in (1, 2):
+            c = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, tensor=tensor))
+            trainer = Trainer(c, build_recipe(c), mesh=make_mesh(8, tensor=tensor))
+            state = trainer.init_state(jax.random.PRNGKey(0), batch)
+            state, metrics = trainer.compiled_step()(
+                state, shard_batch(batch, trainer.mesh)
+            )
+            results[tensor] = {k: float(v) for k, v in metrics.items()}
+        for k in ("loss_G", "loss_D", "g_fft", "g_lpips"):
+            assert np.isfinite(results[2][k]), (k, results[2])
+            np.testing.assert_allclose(
+                results[1][k], results[2][k], rtol=2e-4, err_msg=k
+            )
+
+
 class TestTempModesAndDiffusionVariants:
     @pytest.mark.parametrize("name", ["favtgan_l1", "favtgan_tempmap"])
     def test_temp_modes(self, name):

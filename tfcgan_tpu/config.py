@@ -123,6 +123,10 @@ class MeshConfig:
     # With spatial > 1 the mesh is 2-D (data, spatial) and image tensors are
     # sharded over H with GSPMD conv halo exchange.
     spatial: int = 1
+    # devices on the tensor (model) axis; >1 shards conv out-channels /
+    # dense out-features over it (parallel.mesh.param_sharding) — weight and
+    # optimizer memory shrink ~1/tensor, GSPMD inserts the collectives.
+    tensor: int = 1
 
 
 @dataclass(frozen=True)

@@ -3,8 +3,11 @@
 from tfcgan_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    param_sharding,
+    place_state,
     replicated_sharding,
     shard_batch,
+    shard_params,
     replicate,
 )
 from tfcgan_tpu.parallel.distributed import initialize, local_batch_slice

@@ -55,24 +55,67 @@ def gather_spatial(x: jax.Array) -> jax.Array:
 
 
 def make_mesh(
-    num_devices: int | None = None, axis: str = "data", spatial: int = 1
+    num_devices: int | None = None,
+    axis: str = "data",
+    spatial: int = 1,
+    tensor: int = 1,
 ) -> Mesh:
-    """1-D data mesh, or a 2-D (data, spatial) mesh when ``spatial`` > 1.
+    """1-D data mesh, optionally extended with a spatial and/or tensor axis.
 
-    The spatial axis shards the image H dimension across devices (GSPMD
-    inserts the conv halo exchanges) — the TPU analog of scaling the spatial
-    dimension, complementing the reference's patch decomposition
-    (SURVEY.md §5.7). Verified to compile fwd+grad for the UNet; the 1×1
-    bottleneck triggers a (warned, correct) remat on current XLA.
+    - ``spatial`` > 1 shards the image H dimension across devices (GSPMD
+      inserts the conv halo exchanges) — the TPU analog of scaling the
+      spatial dimension, complementing the reference's patch decomposition
+      (SURVEY.md §5.7). Verified to compile fwd+grad for the UNet; the 1×1
+      bottleneck triggers a (warned, correct) remat on current XLA.
+    - ``tensor`` > 1 adds a tensor-parallel axis: parameters (conv
+      out-channels / dense out-features) are sharded over it by
+      ``param_sharding`` and GSPMD inserts the activation collectives.
+      Shrinks per-device weight+optimizer memory ~1/tensor — the axis to
+      reach for when a model (not the batch) outgrows one chip's HBM.
+
+    Axis order is (data, spatial, tensor) with minor axes innermost, so the
+    tensor collectives ride the fastest ICI links on a real slice.
     """
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    if spatial > 1:
-        assert len(devices) % spatial == 0
-        arr = np.asarray(devices).reshape(len(devices) // spatial, spatial)
-        return Mesh(arr, (axis, "spatial"))
-    return Mesh(np.asarray(devices), (axis,))
+    names, shape = [axis], [len(devices)]
+    for extra_axis, n in (("spatial", spatial), ("tensor", tensor)):
+        if n > 1:
+            assert shape[0] % n == 0, (extra_axis, n, shape)
+            shape[0] //= n
+            names.append(extra_axis)
+            shape.append(n)
+    if len(names) == 1:
+        return Mesh(np.asarray(devices), (axis,))
+    return Mesh(np.asarray(devices).reshape(shape), tuple(names))
+
+
+def param_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Tensor-parallel placement rule for one parameter/optimizer leaf.
+
+    Shape-based (the same rule then covers Adam's mu/nu mirrors for free):
+    shard the LAST dim — conv HWIO out-channels, dense out-features — over
+    the ``tensor`` axis whenever it divides evenly; replicate everything
+    else (biases, norm scales, ragged heads like the STN's 6-dim theta fc).
+    GSPMD propagates the activation shardings and inserts the collectives;
+    no layer code changes. On meshes without a tensor axis this is exactly
+    ``replicated_sharding``.
+    """
+    if "tensor" not in mesh.axis_names:
+        return replicated_sharding(mesh)
+    nt = mesh.shape["tensor"]
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 2 and shape[-1] % nt == 0 and shape[-1] >= nt:
+        return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), "tensor"))
+    return replicated_sharding(mesh)
+
+
+def shard_params(tree, mesh: Mesh):
+    """device_put a params/optimizer pytree under the tensor-parallel rule."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, param_sharding(mesh, x)), tree
+    )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
@@ -115,3 +158,30 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/state) across the mesh."""
     s = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def place_state(state, mesh: Mesh):
+    """Place a ``GANTrainState`` on the mesh.
+
+    Without a tensor axis this is plain replication (the dp / dp×sp regime).
+    With one, the weight-shaped subtrees — params, their Adam mirrors, and
+    the frozen nets — go under the ``param_sharding`` rule; scalars, RNG,
+    spectral u/v vectors, and recipe extras stay replicated.
+    """
+    if "tensor" not in mesh.axis_names:
+        return replicate(state, mesh)
+    rep = replicated_sharding(mesh)
+    put_rep = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), t
+    )
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+        g_params=shard_params(state.g_params, mesh),
+        d_params=shard_params(state.d_params, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        g_opt_state=shard_params(state.g_opt_state, mesh),
+        d_opt_state=shard_params(state.d_opt_state, mesh),
+        spectral=put_rep(state.spectral),
+        extra=put_rep(state.extra),
+    )

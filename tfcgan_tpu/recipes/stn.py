@@ -184,13 +184,15 @@ class STNRecipe:
         """Concatenate each head's (fake, real) pair into one D forward —
         same math for a spectral-norm PatchGAN (no cross-batch coupling),
         half the D weight reads/launches. Mirrors the tfcgan recipe's knob
-        (TFCGAN_SINGLE_PASS_D, trace-time; default on for accelerators, off
-        on CPU for the torch lockstep tests); the STN trainer always advances
-        spectral u/v once per step, so the cadence caveat never applies."""
+        (TFCGAN_SINGLE_PASS_D, trace-time, OPT-IN): measured in situ on the
+        flagship fft_glo b128 step it REGRESSED 17% (BASELINE.md round 4),
+        so the default everywhere is the reference's two-forward form; the
+        STN trainer always advances spectral u/v once per step, so the
+        cadence caveat never applies. See tools/profile_stn.py for the
+        per-family measurement."""
         import os
 
-        default = "0" if jax.default_backend() == "cpu" else "1"
-        return os.environ.get("TFCGAN_SINGLE_PASS_D", default) not in ("0", "false")
+        return os.environ.get("TFCGAN_SINGLE_PASS_D", "0") not in ("0", "false")
 
     def _d_apply(self, d_params, spectral, name, img, cond):
         return self.D1.apply(

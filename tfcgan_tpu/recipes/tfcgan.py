@@ -362,18 +362,21 @@ class TFCGANRecipe:
         forwards of ``globalFFT.py:458-460,519-526`` is numerically identical
         while halving D weight reads and launches (D was 182 ms/step in the
         round-2 profile). Inapplicable to the per-forward spectral cadence,
-        where u/v must advance BETWEEN the two forwards. Knob:
-        TFCGAN_SINGLE_PASS_D (trace-time; default on for accelerators, off on
-        CPU so the torch lockstep tests keep the reference's exact forward
-        structure and fp32 reduction grouping — the two forms differ only by
-        conv-backward accumulation order, tests/test_train.py). See
-        BASELINE.md round 4 for the measured on-chip delta."""
+        where u/v must advance BETWEEN the two forwards.
+
+        Measured IN SITU at the flagship b128 @256² it REGRESSES: 396 →
+        462 ms/step (323.3 → 276.8 img/s, back-to-back A/B on chip,
+        BASELINE.md round 4) — the 2N-batch D tensors at the HBM cliff cost
+        more in fusion/peak than the halved weight traffic saves, the same
+        lesson as the Pallas blur-pool and elementwise max-pool. OPT-IN via
+        TFCGAN_SINGLE_PASS_D=1 (trace-time); parity of the two forms is
+        pinned by tests/test_train.py (they differ only by conv-backward
+        accumulation order)."""
         import os
 
         if self.per_forward_spectral:
             return False
-        default = "0" if jax.default_backend() == "cpu" else "1"
-        return os.environ.get("TFCGAN_SINGLE_PASS_D", default) not in ("0", "false")
+        return os.environ.get("TFCGAN_SINGLE_PASS_D", "0") not in ("0", "false")
 
     def _disc_pair(self, d_params, spectral, first, second, cond):
         """(D(first|cond), D(second|cond)) via ONE concatenated forward —

@@ -25,11 +25,9 @@ import jax.numpy as jnp
 from tfcgan_tpu.config import ExperimentConfig
 from tfcgan_tpu.models.layers import spectral_power_iteration
 from tfcgan_tpu.parallel.mesh import (
-    batch_sharding,
     loss_mesh,
     make_mesh,
-    replicate,
-    replicated_sharding,
+    place_state,
     shard_batch,
 )
 from tfcgan_tpu.train.state import GANTrainState, create_state, make_optimizers
@@ -155,7 +153,9 @@ class Trainer:
         self.cfg = cfg
         self.recipe = recipe
         self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.mesh.num_devices, spatial=getattr(cfg.mesh, "spatial", 1)
+            cfg.mesh.num_devices,
+            spatial=getattr(cfg.mesh, "spatial", 1),
+            tensor=getattr(cfg.mesh, "tensor", 1),
         )
         self.logger = logger
         self._step_fn = None
@@ -166,7 +166,7 @@ class Trainer:
     def init_state(self, key: jax.Array, batch) -> GANTrainState:
         batch = shard_batch(batch, self.mesh)
         state = create_state(self.cfg, self.recipe, key, batch)
-        return replicate(state, self.mesh)
+        return place_state(state, self.mesh)
 
     def compiled_step(self):
         if self._step_fn is None:
