@@ -411,6 +411,35 @@ class TestTensorMesh:
                 results[1][k], results[2][k], rtol=2e-4, err_msg=k
             )
 
+    def test_restore_dp_checkpoint_onto_tensor_mesh(self, tmp_path):
+        """Elastic resume across PARALLELISM STRATEGIES: a checkpoint written
+        on a pure-dp mesh restores onto a dp×tp mesh (place_state re-shards
+        the weights), and the continued step matches the dp continuation."""
+        from tfcgan_tpu.parallel.mesh import make_mesh, place_state, shard_batch
+
+        cfg = small_cfg()
+        recipe = build_recipe(cfg)
+        t_dp = Trainer(cfg, recipe, mesh=make_mesh(8))
+        batches = [synthetic_batch(batch_size=8, image_size=64, seed=s)
+                   for s in range(2)]
+        state = t_dp.fit(t_dp.init_state(jax.random.PRNGKey(3), batches[0]),
+                         batches[:1])
+        path = save_checkpoint(str(tmp_path), state)
+        _, m_dp = t_dp.compiled_step()(state, shard_batch(batches[1], t_dp.mesh))
+
+        c_tp = cfg.replace(mesh=cfg.mesh.__class__(num_devices=8, tensor=2))
+        t_tp = Trainer(c_tp, build_recipe(c_tp), mesh=make_mesh(8, tensor=2))
+        template = jax.device_get(
+            t_tp.init_state(jax.random.PRNGKey(4), batches[0]))
+        restored = place_state(restore_checkpoint(path, template), t_tp.mesh)
+        kern = restored.g_params["G"]["down1"]["conv"]["kernel"]
+        assert kern.addressable_shards[0].data.shape[-1] * 2 == kern.shape[-1]
+        _, m_tp = t_tp.compiled_step()(restored, shard_batch(batches[1], t_tp.mesh))
+        for k in ("loss_G", "loss_D"):
+            np.testing.assert_allclose(
+                float(m_dp[k]), float(m_tp[k]), rtol=2e-4, err_msg=k
+            )
+
 
 class TestTempModesAndDiffusionVariants:
     @pytest.mark.parametrize("name", ["favtgan_l1", "favtgan_tempmap"])
