@@ -259,6 +259,31 @@ class TestSTN:
         out = m.apply(variables, a, a, a)
         assert out.shape == (2, 256, 256, 3)
 
+    def test_affine_stn_identity_init(self):
+        """Zero-init dtheta head: theta == exact identity at init, so step 0
+        starts inside the registration loss basin (round-4 journey lesson:
+        the reference-style random head put tx at 0.3-0.7 at init and one
+        seed died out of frame within 17 steps). identity_init=False keeps
+        the reference-style random head."""
+        rng = np.random.RandomState(5)
+        a = jnp.asarray(np.tanh(rng.randn(1, 256, 256, 3)).astype(np.float32))
+        b = jnp.asarray(np.tanh(rng.randn(1, 256, 256, 3)).astype(np.float32))
+        m = models.AffineSTN()
+        variables = m.init(jax.random.PRNGKey(0), a, b, b)
+        theta = m.apply(variables, a, b, method="theta")
+        np.testing.assert_array_equal(
+            np.asarray(theta),
+            np.tile(np.asarray([[1.0, 0, 0], [0, 1.0, 0]], np.float32), (1, 1, 1)),
+        )
+        # identity theta -> the warp is a no-op
+        warped = m.apply(variables, a, b, b)
+        np.testing.assert_allclose(np.asarray(warped), np.asarray(b), atol=1e-5)
+        m_ref = models.AffineSTN(identity_init=False)
+        v_ref = m_ref.init(jax.random.PRNGKey(0), a, b, b)
+        th_ref = m_ref.apply(v_ref, a, b, method="theta")
+        assert float(np.abs(np.asarray(th_ref) -
+                            np.asarray(theta)).max()) > 1e-3
+
     def test_deformable_stn(self):
         m = models.DeformableSTN()
         a = jnp.zeros((1, 128, 128, 3))

@@ -34,6 +34,17 @@ from tfcgan_tpu.ops.warp import affine_grid, grid_sample, warp_affine
 IDENTITY_THETA = np.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=np.float32)
 
 
+def _dtheta_head(identity_init: bool, dtype) -> nn.Dense:
+    """The 256->6 dtheta projection (name ``fc4``); zero-init when
+    ``identity_init`` so theta starts at exact identity (see AffineSTN)."""
+    kw = (
+        dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+        if identity_init
+        else {}
+    )
+    return nn.Dense(6, dtype=dtype, name="fc4", **kw)
+
+
 class LocalizerViT(nn.Module):
     """ViT(patch 64, in=6ch) localizer (``:150-165``)."""
 
@@ -50,12 +61,24 @@ class AffineSTN(nn.Module):
     ``fast_warp=True`` uses the Pallas separable warp (63x faster on TPU than
     the gather path, exact for scale/shear/translation, tiny deviation on the
     rotation component); False uses the torch-exact gather implementation.
+
+    ``identity_init=True`` zero-initializes the dtheta head so theta starts
+    at EXACT identity (the NeMAR AffineNetwork convention,
+    ``nemar/models/stn/affine_stn.py:52``). The reference's default torch
+    Linear init puts |dtheta| ~ 0.3-0.7 at step 0 — measured round 4: with
+    the msrecon anchor standing in for pretrained LPIPS, one seed recovered
+    and another was pushed out of frame within 17 steps (tx 2.4, border
+    padding => zero warp gradient, morph triplet margin-saturated at 1.0 =>
+    a dead STN for the rest of training). Starting at identity keeps step 0
+    inside the loss basin. Weight-transfer parity is unaffected (lockstep
+    tests load torch weights); set False for reference-style init.
     """
 
     dtype: jnp.dtype = jnp.float32
     mode: str = "bicubic"
     padding_mode: str = "border"
     fast_warp: bool = True
+    identity_init: bool = True
 
     @nn.compact
     def theta(self, img_a: jax.Array, img_b: jax.Array) -> jax.Array:
@@ -68,22 +91,33 @@ class AffineSTN(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype, name="fc3")(h)
         h = nn.sigmoid(h)
-        dtheta = nn.Dense(6, dtype=self.dtype, name="fc4")(h)
+        dtheta = _dtheta_head(self.identity_init, self.dtype)(h)
         theta = dtheta.astype(jnp.float32) + IDENTITY_THETA[None, :]
         return theta.reshape(-1, 2, 3)
 
     def __call__(self, img_a: jax.Array, img_b: jax.Array, src: jax.Array) -> jax.Array:
         theta = self.theta(img_a, img_b)
-        if self.fast_warp:
-            from tfcgan_tpu.ops.pallas_kernels import warp_affine_separable
-
-            return warp_affine_separable(
-                src, theta, mode=self.mode, padding_mode=self.padding_mode
-            ).astype(src.dtype)
-        return warp_affine(
+        return warp_src(
             src, theta, mode=self.mode, padding_mode=self.padding_mode,
-            align_corners=True,
+            fast=self.fast_warp,
+        )
+
+
+def warp_src(src: jax.Array, theta: jax.Array, *, mode: str, padding_mode: str,
+             fast: bool) -> jax.Array:
+    """The AffineSTN warp dispatch (parameterless): Pallas separable kernel
+    when ``fast``, else the torch-exact align_corners=True gather path.
+    Exposed so callers that already hold theta (e.g. the STN recipe's
+    observability path) can warp without re-running the localizer."""
+    if fast:
+        from tfcgan_tpu.ops.pallas_kernels import warp_affine_separable
+
+        return warp_affine_separable(
+            src, theta, mode=mode, padding_mode=padding_mode
         ).astype(src.dtype)
+    return warp_affine(
+        src, theta, mode=mode, padding_mode=padding_mode, align_corners=True,
+    ).astype(src.dtype)
 
 
 def _dense_warp(img, grid, fast: bool):

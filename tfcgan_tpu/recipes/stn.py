@@ -42,7 +42,7 @@ from tfcgan_tpu.models.lpips import (
     resolve_lpips_weights,
     resolve_perceptual,
 )
-from tfcgan_tpu.models.stn import LocalizerViT
+from tfcgan_tpu.models.stn import LocalizerViT, warp_src
 from tfcgan_tpu.models.vit import ViT
 from tfcgan_tpu.ops.perceptual import multiscale_recon
 import flax.linen as nn
@@ -76,9 +76,9 @@ class _STNNet(AffineSTN):
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype, name="fc3")(h)
         h = nn.sigmoid(h)
-        dtheta = nn.Dense(6, dtype=self.dtype, name="fc4")(h)
-        from tfcgan_tpu.models.stn import IDENTITY_THETA
+        from tfcgan_tpu.models.stn import IDENTITY_THETA, _dtheta_head
 
+        dtheta = _dtheta_head(self.identity_init, self.dtype)(h)
         return (dtheta.astype(jnp.float32) + IDENTITY_THETA[None, :]).reshape(-1, 2, 3)
 
 
@@ -125,6 +125,10 @@ class STNRecipe:
         self.STN = _STNNet(
             dtype=dt, patch=patch,
             fast_warp=bool(cfg.extra.get("fast_warp", True)),
+            # zero-init dtheta head => theta starts at exact identity; the
+            # reference-style random head is measured (round 4) to start
+            # out of the loss basin on some seeds and die out-of-frame
+            identity_init=bool(cfg.extra.get("stn_identity_init", True)),
             vit_depth=int(cfg.extra.get("vit_depth", 12)),
             vit_dim=int(cfg.extra.get("vit_dim", 768)),
             vit_heads=int(cfg.extra.get("vit_heads", 12)),
@@ -165,19 +169,28 @@ class STNRecipe:
         a, b = batch["A"], batch["B"]
         fake_b = self.G1.apply({"params": g_params["G1"]}, a,
                                deterministic=det, rngs={"dropout": kg1})
+        # theta computed once (method="theta"), warp applied parameterlessly:
+        # same math as STN.__call__, but theta stays visible for the step
+        # metrics (a dead out-of-frame warp is invisible in the loss curves —
+        # round-4 journey lesson)
         if self.variant == "dark_visible":
             # single G2 pass: fake_A = G2(STN(A, fake_B; src=B)) — there is
             # no fake_A1 = G2(B) leg in DarkVisible (``:682-687``)
-            warped_b = self.STN.apply({"params": g_params["STN"]}, a, fake_b, b)
-            fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
-                                    deterministic=det, rngs={"dropout": kg3})
-            return fake_b, None, warped_b, fake_a2
-        fake_a1 = self.G2.apply({"params": g_params["G2"]}, b,
-                                deterministic=det, rngs={"dropout": kg2})
-        warped_b = self.STN.apply({"params": g_params["STN"]}, a, fake_a1, b)
+            fake_a1 = None
+            cond = fake_b
+        else:
+            fake_a1 = self.G2.apply({"params": g_params["G2"]}, b,
+                                    deterministic=det, rngs={"dropout": kg2})
+            cond = fake_a1
+        theta = self.STN.apply({"params": g_params["STN"]}, a, cond,
+                               method="theta")
+        warped_b = warp_src(
+            b, theta, mode=self.STN.mode, padding_mode=self.STN.padding_mode,
+            fast=self.STN.fast_warp,
+        )
         fake_a2 = self.G2.apply({"params": g_params["G2"]}, warped_b,
                                 deterministic=det, rngs={"dropout": kg3})
-        return fake_b, fake_a1, warped_b, fake_a2
+        return fake_b, fake_a1, warped_b, fake_a2, theta
 
     @staticmethod
     def _single_pass_d() -> bool:
@@ -218,7 +231,7 @@ class STNRecipe:
     def g_loss(self, g_params, d_params, spectral, frozen, batch, rng):
         cfg = self.cfg.loss
         a, b = batch["A"], batch["B"]
-        fake_b, fake_a1, warped_b, fake_a2 = self._forward(g_params, batch, rng)
+        fake_b, fake_a1, warped_b, fake_a2, theta = self._forward(g_params, batch, rng)
 
         # relativistic G losses (global_gen_loss :480-490)
         p1f, p1r = self._d_pair(d_params, spectral, "D1", fake_b, b, a)
@@ -256,6 +269,11 @@ class STNRecipe:
             total = total + cfg.fft_weight * fft
             metrics["g_fft"] = fft
         metrics["loss_G"] = total
+        # warp health: mean |translation| in [-1,1] grid units (>1 = content
+        # pushed out of frame => zero gradient under border padding)
+        metrics["theta_t"] = jnp.mean(
+            jnp.abs(jax.lax.stop_gradient(theta)[:, :, 2])
+        )
         aux = {
             "fake_b": jax.lax.stop_gradient(fake_b),
             "fake_a2": jax.lax.stop_gradient(fake_a2),

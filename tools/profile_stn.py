@@ -131,7 +131,9 @@ def main() -> None:
                                 deterministic=det, rngs={"dropout": kg2})
         fake_a2 = self.G2.apply({"params": g_params["G2"]}, bb,
                                 deterministic=det, rngs={"dropout": kg3})
-        return fake_b, fake_a1, bb, fake_a2
+        theta = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]],
+                                     jnp.float32)[None], (bb.shape[0], 1, 1))
+        return fake_b, fake_a1, bb, fake_a2, theta
 
     stn_mod.STNRecipe._forward = fwd_no_stn
     try:
