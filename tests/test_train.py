@@ -191,6 +191,11 @@ class TestSTNRecipe:
         state, metrics = step(state, shard_batch(batch, trainer.mesh))
         for k in ("loss_G", "loss_D", "g_morph", "g_recon"):
             assert np.isfinite(float(metrics[k])), k
+        # identity-init dtheta head: step-1 theta is still ~identity, and the
+        # warp-health metric is surfaced (round-4 journey regression)
+        assert float(metrics["theta_t"]) < 0.05
+        # the zero-init default must have threaded through build_recipe
+        assert recipe.STN.identity_init is True
         # STN params must receive gradient through fake_A2 (not detached)
         stn0 = jax.device_get(state.g_params["STN"])  # before donation
         state2, _ = step(state, shard_batch(batch, trainer.mesh))
