@@ -39,6 +39,11 @@ class TestCLI:
         ["gen", "--experiment", "tfc_diff", "--checkpoint", "x"],
         ["eval", "--fake-dir", "a", "--real-dir", "b"],
         ["eval-reg", "--real-a-dir", "a", "--real-b-dir", "b", "--reg-b-dir", "c"],
+        # --cpu pins host-only commands to the CPU backend (tunnel hazard
+        # escape hatch); a no-op here since conftest already pins cpu
+        ["eval-reg", "--cpu", "--real-a-dir", "a", "--real-b-dir", "b",
+         "--reg-b-dir", "c"],
+        ["eval", "--cpu", "--fake-dir", "a", "--real-dir", "b"],
         ["prep-combine", "--dir-a", "a", "--dir-b", "b", "--dir-ab", "c"],
         ["prep-crop", "--stack-dir", "a", "--out-root", "b"],
     ])

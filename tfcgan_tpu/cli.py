@@ -349,7 +349,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tfcgan_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    common = argparse.ArgumentParser(add_help=False)
+    # --cpu pins the metric math to the host backend. Host-only commands
+    # (eval / eval-reg / prep-*) have no reason to depend on the TPU tunnel,
+    # whose first-op latency and back-to-back-client wedges are documented
+    # platform hazards; JAX_PLATFORMS as an env var does not stick here
+    # (a sitecustomize registers the TPU plugin), so the flag goes through
+    # jax.config.update before the first backend use.
+    hostable = argparse.ArgumentParser(add_help=False)
+    hostable.add_argument("--cpu", action="store_true",
+                          help="run on the host CPU backend (skip the TPU "
+                               "tunnel; eval/prep commands only need jnp)")
+
+    common = argparse.ArgumentParser(add_help=False, parents=[hostable])
     common.add_argument("--experiment", default="fft_glo")
     common.add_argument("--data-root", default=None)
     common.add_argument("--batch-size", type=int, default=None)
@@ -390,13 +401,13 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_gen)
 
-    sp = sub.add_parser("eval")
+    sp = sub.add_parser("eval", parents=[hostable])
     sp.add_argument("--fake-dir", required=True)
     sp.add_argument("--real-dir", required=True)
     sp.add_argument("--out-csv", default=None)
     sp.set_defaults(fn=cmd_eval)
 
-    sp = sub.add_parser("eval-reg")
+    sp = sub.add_parser("eval-reg", parents=[hostable])
     sp.add_argument("--real-a-dir", required=True)
     sp.add_argument("--real-b-dir", required=True)
     sp.add_argument("--reg-b-dir", required=True)
@@ -405,30 +416,32 @@ def main(argv=None):
                     help="emit 5-panel before/after difference plots")
     sp.set_defaults(fn=cmd_eval_reg)
 
-    sp = sub.add_parser("prep-combine")
+    sp = sub.add_parser("prep-combine", parents=[hostable])
     sp.add_argument("--dir-a", required=True)
     sp.add_argument("--dir-b", required=True)
     sp.add_argument("--dir-ab", required=True)
     sp.set_defaults(fn=cmd_prep_combine)
 
-    sp = sub.add_parser("prep-crop")
+    sp = sub.add_parser("prep-crop", parents=[hostable])
     sp.add_argument("--stack-dir", required=True)
     sp.add_argument("--out-root", required=True)
     sp.add_argument("--roles", default="real_A,fake_B,real_B")
     sp.set_defaults(fn=cmd_prep_crop)
 
-    sp = sub.add_parser("mesh", help="face-landmark overlays (TFC-STN/mesh.py)")
+    sp = sub.add_parser("mesh", parents=[hostable], help="face-landmark overlays (TFC-STN/mesh.py)")
     sp.add_argument("--src-dir", required=True)
     sp.add_argument("--out-dir", required=True)
     sp.set_defaults(fn=cmd_mesh)
 
-    sp = sub.add_parser("gallery", help="index.html over a sample/eval dir "
+    sp = sub.add_parser("gallery", parents=[hostable], help="index.html over a sample/eval dir "
                                         "(nemar/util/visualizer.py analogue)")
     sp.add_argument("--dir", required=True)
     sp.add_argument("--title", default=None)
     sp.set_defaults(fn=cmd_gallery)
 
     args = p.parse_args(argv)
+    if getattr(args, "cpu", False) or os.environ.get("TFCGAN_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 

@@ -27,12 +27,12 @@ for CKPT in $(ls -d $RUN/step_* | sort); do
   timeout 1500 python -m tfcgan_tpu.cli test --experiment fft_glo \
     --data-root $ROOT --checkpoint $CKPT --out-dir $OUT/stacks || exit 1
   sleep 15
-  python -m tfcgan_tpu.cli prep-crop --stack-dir $OUT/stacks \
+  python -m tfcgan_tpu.cli prep-crop --cpu --stack-dir $OUT/stacks \
     --out-root $OUT --roles real_A,fake_B,real_B || exit 1
-  timeout 1200 python -m tfcgan_tpu.cli eval --fake-dir $OUT/fake_B \
+  timeout 1200 python -m tfcgan_tpu.cli eval --cpu --fake-dir $OUT/fake_B \
     --real-dir $OUT/real_B --out-csv $OUT/metrics.csv \
     | tee $OUT/metrics_mean.txt || exit 1
   sleep 15
 done
-python -m tfcgan_tpu.cli gallery --dir $RUN/samples --title "fft_glo e2e"
+python -m tfcgan_tpu.cli gallery --cpu --dir $RUN/samples --title "fft_glo e2e"
 echo "E2E_JOURNEY_DONE"

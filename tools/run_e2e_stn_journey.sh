@@ -39,19 +39,19 @@ OUT=$RUN/eval_$(basename $CKPT)
 timeout 1800 python -m tfcgan_tpu.cli test --experiment stn_newmodel3 \
   --data-root $ROOT --checkpoint $CKPT --out-dir $OUT/stacks || exit 1
 sleep 15
-python -m tfcgan_tpu.cli prep-crop --stack-dir $OUT/stacks --out-root $OUT \
+python -m tfcgan_tpu.cli prep-crop --cpu --stack-dir $OUT/stacks --out-root $OUT \
   --roles real_A,real_B,reg_B,fake_A1,fake_A2,fake_B || exit 1
 # pass 1: reference protocol (cross-modality)
-timeout 1200 python -m tfcgan_tpu.cli eval-reg --real-a-dir $OUT/real_A \
+timeout 1200 python -m tfcgan_tpu.cli eval-reg --cpu --real-a-dir $OUT/real_A \
   --real-b-dir $OUT/real_B --reg-b-dir $OUT/reg_B \
   --out-csv $OUT/reg_metrics.csv --plots-dir $OUT/diff_plots \
   > $OUT/reg_metrics_mean.txt 2>&1 || exit 1
 cat $OUT/reg_metrics_mean.txt
 # pass 2: synthetic ground truth (same-modality, anchor-run style)
-timeout 1200 python -m tfcgan_tpu.cli eval-reg --real-a-dir $ROOT/test_aligned_B \
+timeout 1200 python -m tfcgan_tpu.cli eval-reg --cpu --real-a-dir $ROOT/test_aligned_B \
   --real-b-dir $OUT/real_B --reg-b-dir $OUT/reg_B \
   --out-csv $OUT/reg_metrics_gt.csv \
   > $OUT/reg_metrics_gt_mean.txt 2>&1 || exit 1
 cat $OUT/reg_metrics_gt_mean.txt
-python -m tfcgan_tpu.cli gallery --dir $OUT/diff_plots --title "stn e2e diff plots"
+python -m tfcgan_tpu.cli gallery --cpu --dir $OUT/diff_plots --title "stn e2e diff plots"
 echo "E2E_STN_JOURNEY_DONE"
