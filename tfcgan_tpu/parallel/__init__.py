@@ -11,3 +11,9 @@ from tfcgan_tpu.parallel.mesh import (
     replicate,
 )
 from tfcgan_tpu.parallel.distributed import initialize, local_batch_slice
+from tfcgan_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    pipeline_apply,
+    resnet_trunk_pipeline,
+    stack_stages,
+)
