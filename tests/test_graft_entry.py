@@ -54,6 +54,7 @@ def test_dryrun_multichip_as_driver_calls_it():
     assert "dp(8): loss_G=" in proc.stdout, proc.stdout
     assert "dp4xsp2: loss_G=" in proc.stdout, proc.stdout
     # extras must be reported either way (run or loudly skipped)
+    assert _stage_reported(proc.stdout, "pp-pipe4"), proc.stdout
     assert _stage_reported(proc.stdout, "tp-dp4xtp2"), proc.stdout
     assert _stage_reported(proc.stdout, "stn-dp(8)"), proc.stdout
     assert _stage_reported(proc.stdout, "nemar-dp(8)"), proc.stdout
@@ -64,5 +65,6 @@ def test_dryrun_budget_skips_extras_loudly():
     proc = _run(extra_env={"TFCGAN_DRYRUN_BUDGET": "0"})
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dp(8): loss_G=" in proc.stdout, proc.stdout
+    assert "pp-pipe4: SKIPPED (budget" in proc.stdout, proc.stdout
     assert "stn-dp(8): SKIPPED (budget" in proc.stdout, proc.stdout
     assert "nemar-dp(8): SKIPPED (budget" in proc.stdout, proc.stdout
