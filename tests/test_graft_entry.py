@@ -41,7 +41,7 @@ def _run(extra_env=None, timeout=1500):
 
 def _stage_reported(stdout: str, tag: str) -> bool:
     """A stage is reported when it either ran (loss line) or loudly skipped."""
-    ran = f"{tag}: loss_G=" in stdout
+    ran = f"{tag}: loss_G=" in stdout or f"{tag}: loss=" in stdout
     skipped = f"{tag}: SKIPPED" in stdout
     return ran or skipped
 
