@@ -108,7 +108,12 @@ def warp_src(src: jax.Array, theta: jax.Array, *, mode: str, padding_mode: str,
     """The AffineSTN warp dispatch (parameterless): Pallas separable kernel
     when ``fast``, else the torch-exact align_corners=True gather path.
     Exposed so callers that already hold theta (e.g. the STN recipe's
-    observability path) can warp without re-running the localizer."""
+    observability path) can warp without re-running the localizer.
+
+    Both branches cast back to ``src.dtype``: the gather path computes in
+    fp32 internally, so bf16 callers of the reference-parity (``fast=False``)
+    route get a bf16 result — consistent with the Pallas path. Lockstep
+    parity tests run fp32, where the cast is a no-op."""
     if fast:
         from tfcgan_tpu.ops.pallas_kernels import warp_affine_separable
 

@@ -97,7 +97,10 @@ def param_sharding(mesh: Mesh, x) -> NamedSharding:
     Shape-based (the same rule then covers Adam's mu/nu mirrors for free):
     shard the LAST dim — conv HWIO out-channels, dense out-features — over
     the ``tensor`` axis whenever it divides evenly; replicate everything
-    else (biases, norm scales, ragged heads like the STN's 6-dim theta fc).
+    else (biases, norm scales, and any head whose out-dim the tensor size
+    does not divide — e.g. a 7-class logit head on tensor=2). Small heads
+    whose out-dim *is* divisible (the STN's 6-dim theta fc on tensor=2)
+    are sharded; GSPMD keeps the math exact either way.
     GSPMD propagates the activation shardings and inserts the collectives;
     no layer code changes. On meshes without a tensor axis this is exactly
     ``replicated_sharding``.

@@ -119,8 +119,13 @@ def make_pipe_mesh(num_stages: int) -> Mesh:
     """1-D ``pipe`` mesh over the first ``num_stages`` local devices."""
     import numpy as np
 
-    devices = jax.devices()[:num_stages]
-    return Mesh(np.asarray(devices), ("pipe",))
+    devices = jax.devices()
+    if len(devices) < num_stages:
+        raise ValueError(
+            f"make_pipe_mesh({num_stages}) needs {num_stages} devices, "
+            f"only {len(devices)} available"
+        )
+    return Mesh(np.asarray(devices[:num_stages]), ("pipe",))
 
 
 def resnet_trunk_pipeline(
