@@ -227,6 +227,82 @@ class TestInferencerOutputs:
         stack = np.asarray(Image.open(tmp_path / "00000.png"))
         assert stack.shape == (64 * 3, 64, 3)  # A | fake_B | real_B vertical
 
+    def test_nemar_serve_stack_feeds_eval_reg(self, tmp_path):
+        """NeMAR test-mode visuals (nemar/test.py:1-60, visual_names
+        nemar_model.py:74-87) through the crop -> eval-reg chain."""
+        import os
+
+        import jax
+        import numpy as np
+        from PIL import Image
+
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.data.prep import crop_stacks
+        from tfcgan_tpu.data.synth import synthetic_batch
+        from tfcgan_tpu.evaluation.suite import _load_dir, registration_metrics
+        from tfcgan_tpu.infer import Inferencer
+        from tfcgan_tpu.recipes import build_recipe
+
+        cfg = get_experiment("nemar")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=2, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            extra={**cfg.extra, "resnet_blocks": 1, "stn_type": "affine",
+                   "fast_warp": False},
+        )
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=2, image_size=64)
+        params = recipe.init(jax.random.PRNGKey(0), batch)["g_params"]
+        inf = Inferencer(cfg, recipe, params)
+        out = inf(batch)
+        assert set(out) == {"registered_A", "fake_B", "fake_TR_B", "fake_RT_B"}
+        stacks_dir = tmp_path / "stacks"
+        n = inf.run_test_set([batch], str(stacks_dir))
+        assert n == 2
+        stack = np.asarray(Image.open(stacks_dir / "00000.png"))
+        assert stack.shape == (64 * 6, 64, 3)
+        roles = ["real_A", "real_B", "reg_A", "fake_B", "fake_TR_B", "fake_RT_B"]
+        crop_stacks(str(stacks_dir), str(tmp_path), roles)
+        assert sorted(os.listdir(tmp_path / "reg_A")) == ["00000.png", "00001.png"]
+        # eval-reg consumption: netR warps A onto B, so the moving image is A
+        _, a = _load_dir(str(tmp_path / "real_A"))
+        _, b = _load_dir(str(tmp_path / "real_B"))
+        _, ra = _load_dir(str(tmp_path / "reg_A"))
+        to = lambda x: x / 127.5 - 1.0
+        m = registration_metrics(to(b), to(a), to(ra))
+        for v in m.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_cyclegan_serve_both_legs(self, tmp_path):
+        """CycleGAN serves both directions: the reference sample grid is
+        real_A | fake_B | real_B | fake_A (cyclegan_og/cyclegan.py:327-342)."""
+        import jax
+        import numpy as np
+        from PIL import Image
+
+        from tfcgan_tpu.config import get_experiment
+        from tfcgan_tpu.data.synth import synthetic_batch
+        from tfcgan_tpu.infer import Inferencer
+        from tfcgan_tpu.recipes import build_recipe
+
+        cfg = get_experiment("cyclegan")
+        cfg = cfg.replace(
+            data=cfg.data.__class__(batch_size=2, image_size=64),
+            train=cfg.train.__class__(compute_dtype="float32"),
+            extra={**cfg.extra, "resnet_blocks": 1},
+        )
+        recipe = build_recipe(cfg)
+        batch = synthetic_batch(batch_size=2, image_size=64)
+        params = recipe.init(jax.random.PRNGKey(0), batch)["g_params"]
+        inf = Inferencer(cfg, recipe, params)
+        out = inf(batch)
+        assert set(out) == {"fake_B", "fake_A"}
+        assert np.asarray(out["fake_A"]).shape == (2, 64, 64, 3)
+        n = inf.run_test_set([batch], str(tmp_path / "s"))
+        assert n == 2
+        stack = np.asarray(Image.open(tmp_path / "s" / "00000.png"))
+        assert stack.shape == (64 * 4, 64, 3)
+
 
 class TestInferencerMesh:
     def test_data_parallel_serving_matches_single_device(self):

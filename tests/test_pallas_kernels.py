@@ -101,6 +101,84 @@ class TestSeparableWarp:
         assert np.abs(np.asarray(gs)).sum() > 0
 
 
+class TestWarpV2:
+    """NHWC-native (stride=C) warp formulation vs the original v1 — same
+    math, different data layout (the layout-copy-tax attack)."""
+
+    def _theta(self, n, seed=3):
+        r = np.random.RandomState(seed)
+        ang = r.uniform(-0.1, 0.1, n)
+        th = np.zeros((n, 2, 3), np.float32)
+        th[:, 0, 0] = np.cos(ang) * r.uniform(0.9, 1.1, n)
+        th[:, 0, 1] = -np.sin(ang)
+        th[:, 1, 0] = np.sin(ang)
+        th[:, 1, 1] = np.cos(ang) * r.uniform(0.9, 1.1, n)
+        th[:, 0, 2] = r.uniform(-0.1, 0.1, n)
+        th[:, 1, 2] = r.uniform(-0.1, 0.1, n)
+        return th
+
+    @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+    def test_v1_v2_outputs_identical(self, mode):
+        from tfcgan_tpu.ops.pallas_kernels.resample import (
+            _warp_separable_v1, _warp_separable_v2)
+
+        r = np.random.RandomState(4)
+        src = jnp.asarray(r.randn(2, 32, 32, 3).astype(np.float32))
+        th = jnp.asarray(self._theta(2))
+        kmode = "linear" if mode == "bilinear" else "cubic"
+        o1 = np.asarray(_warp_separable_v1(src, th, kmode))
+        o2 = np.asarray(_warp_separable_v2(src, th, kmode))
+        np.testing.assert_allclose(o2, o1, atol=2e-5)
+
+    def test_v1_v2_grads_identical(self):
+        from tfcgan_tpu.ops.pallas_kernels.resample import (
+            _warp_separable_v1, _warp_separable_v2)
+
+        r = np.random.RandomState(5)
+        src = jnp.asarray(r.randn(2, 16, 16, 3).astype(np.float32))
+        th = jnp.asarray(self._theta(2, seed=6))
+        tgt = jnp.asarray(r.randn(2, 16, 16, 3).astype(np.float32))
+
+        def loss(fn):
+            return lambda s, t: jnp.mean((fn(s, t, "cubic") - tgt) ** 2)
+
+        g1s, g1t = jax.grad(loss(_warp_separable_v1), argnums=(0, 1))(src, th)
+        g2s, g2t = jax.grad(loss(_warp_separable_v2), argnums=(0, 1))(src, th)
+        np.testing.assert_allclose(np.asarray(g2s), np.asarray(g1s), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g2t), np.asarray(g1t), atol=2e-4)
+
+    @pytest.mark.parametrize("mode", ["linear", "cubic"])
+    def test_strided_resample_matches_per_channel(self, mode):
+        """stride=C channel-interleaved kernel == C independent stride=1
+        resamples, incl. the border-mass adjoint (via grads)."""
+        from tfcgan_tpu.ops.pallas_kernels.resample import resample_affine_lanes
+
+        r = np.random.RandomState(7)
+        R, W, C = 8, 32, 3
+        x = r.randn(R, W, C).astype(np.float32)
+        p = r.uniform(0.6, 1.5, R).astype(np.float32)
+        q = r.uniform(-6, 2, R).astype(np.float32)  # runs off both edges
+
+        def f_strided(xi):
+            return resample_affine_lanes(
+                xi.reshape(R, W * C), jnp.asarray(p), jnp.asarray(q),
+                W, mode, True, C)
+
+        def f_loop(xi):
+            outs = [resample_affine_lanes(xi[..., c], jnp.asarray(p),
+                                          jnp.asarray(q), W, mode, True)
+                    for c in range(C)]
+            return jnp.stack(outs, axis=-1).reshape(R, W * C)
+
+        xj = jnp.asarray(x)
+        np.testing.assert_allclose(np.asarray(f_strided(xj)),
+                                   np.asarray(f_loop(xj)), atol=1e-5)
+        ct = jnp.asarray(r.randn(R, W * C).astype(np.float32))
+        g_s = jax.grad(lambda xi: jnp.sum(f_strided(xi) * ct))(xj)
+        g_l = jax.grad(lambda xi: jnp.sum(f_loop(xi) * ct))(xj)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_l), atol=1e-4)
+
+
 class TestBlurPoolPallas:
     @pytest.mark.parametrize("stride", [1, 2])
     @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 16, 16, 64)])

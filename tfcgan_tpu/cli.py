@@ -281,7 +281,22 @@ def cmd_gen(args):
 def cmd_eval(args):
     from tfcgan_tpu.evaluation.suite import evaluate_dirs
 
-    df = evaluate_dirs(args.fake_dir, args.real_dir, args.out_csv)
+    df = evaluate_dirs(args.fake_dir, args.real_dir, None)
+    if getattr(args, "iqa", None):
+        # NR-IQA stage of the reference protocol: one score per image for
+        # fake_B AND real_B dirs (eval/Devcom/IQA.sh:13-28 runs each model
+        # with -i fake_B -r real_B).
+        from tfcgan_tpu.evaluation.iqa import compute_iqa
+        from tfcgan_tpu.evaluation.suite import _load_dir
+
+        metrics = tuple(m.strip() for m in args.iqa.split(","))
+        _, fk = _load_dir(args.fake_dir)
+        _, rl = _load_dir(args.real_dir)
+        for tag, imgs in (("fake", fk), ("real", rl)):
+            for m, v in compute_iqa(list(imgs), metrics).items():
+                df[f"{m}_{tag}"] = v
+    if args.out_csv:
+        df.to_csv(args.out_csv, index=False)
     means = df.drop(columns=["file"]).mean()
     print(means.to_string())
 
@@ -405,6 +420,11 @@ def main(argv=None):
     sp.add_argument("--fake-dir", required=True)
     sp.add_argument("--real-dir", required=True)
     sp.add_argument("--out-csv", default=None)
+    sp.add_argument(
+        "--iqa", default=None, metavar="METRICS",
+        help="comma-separated NR-IQA metrics over both dirs (niqe,maniqa,"
+             "dbcnn) — the IQA.sh stage of the reference eval protocol",
+    )
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("eval-reg", parents=[hostable])

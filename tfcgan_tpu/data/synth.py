@@ -130,6 +130,25 @@ def _face_scene(rng: np.random.RandomState, n: int, size: int) -> np.ndarray:
     return np.clip(scene, 0.0, 1.0)
 
 
+def textured_face_scene(
+    rng: np.random.RandomState, n: int, size: int, texture_amp: float = 0.04
+) -> np.ndarray:
+    """Face scenes with band-limited micro-texture, (N, H, W) in [0, 1].
+
+    The plain ``_face_scene`` blobs are piecewise-smooth, so blurring them
+    barely moves MSCN statistics; natural images (the NIQE premise) carry
+    fine texture whose loss IS the blur signature. Used as the pristine
+    domain for the synthetic-fitted NIQE model (tools/fit_niqe_pristine.py).
+    """
+    from scipy import ndimage
+
+    base = _face_scene(rng, n, size)
+    tex = np.stack([
+        ndimage.gaussian_filter(rng.randn(size, size), 0.7) for _ in range(n)
+    ])
+    return np.clip(base + texture_amp * tex, 0.0, 1.0)
+
+
 def synthetic_registration_batch(
     batch_size: int = 8,
     image_size: int = 64,

@@ -64,9 +64,30 @@ class Inferencer:
                         "warped_B": warped_b, "fake_A2": fake_a2}
             self._fn = jax.jit(stn_fn)
         elif name == "cyclegan":
-            self._fn = jax.jit(
-                lambda p, batch: recipe.G_AB.apply({"params": p["G_AB"]}, batch["A"])
-            )
+            # Both translation legs, per the reference sample grid
+            # real_A | fake_B | real_B | fake_A (cyclegan_og/cyclegan.py:327-342).
+            def cg_fn(p, batch):
+                return {
+                    "fake_B": recipe.G_AB.apply({"params": p["G_AB"]}, batch["A"]),
+                    "fake_A": recipe.G_BA.apply({"params": p["G_BA"]}, batch["B"]),
+                }
+            self._fn = jax.jit(cg_fn)
+        elif name == "nemar":
+            # NeMAR test-mode forward (nemar/test.py:1-60 runs model.test() →
+            # nemar_model.forward():161-173; visual_names:74-87): fake_B=T(A),
+            # [registered_A, fake_RT_B]=R(A,B,apply_on=[A,fake_B]),
+            # fake_TR_B=T(registered_A).
+            def nm_fn(p, batch):
+                a, b = batch["A"], batch["B"]
+                t = lambda x: recipe.T.apply({"params": p["T"]}, x)
+                fake_b = t(a)
+                warped, _ = recipe.R.apply(
+                    {"params": p["R"]}, a, b, apply_on=[a, fake_b]
+                )
+                reg_a, fake_rt_b = warped
+                return {"registered_A": reg_a, "fake_B": fake_b,
+                        "fake_TR_B": t(reg_a), "fake_RT_B": fake_rt_b}
+            self._fn = jax.jit(nm_fn)
         elif name == "thermalgan":
             def tg_fn(p, batch):
                 from tfcgan_tpu.models.thermalgan import normalized_temps
@@ -113,11 +134,19 @@ class Inferencer:
         n = 0
         for batch in batches:
             out = self(batch)
-            if isinstance(out, dict):  # STN: 6-image stack layout (:332-346)
+            if not isinstance(out, dict):
+                stacks = [batch["A"], out, batch["B"]]
+            elif "warped_B" in out:  # STN: 6-image stack layout (:332-346)
                 stacks = [batch["A"], batch["B"], out["warped_B"],
                           out["fake_A1"], out["fake_A2"], out["fake_B"]]
-            else:
-                stacks = [batch["A"], out, batch["B"]]
+            elif "registered_A" in out:
+                # NeMAR visual_names order (nemar_model.py:74-87); crop with
+                # --roles real_A,real_B,reg_A,fake_B,fake_TR_B,fake_RT_B then
+                # eval-reg over (real_B, real_A, reg_A): netR warps A onto B.
+                stacks = [batch["A"], batch["B"], out["registered_A"],
+                          out["fake_B"], out["fake_TR_B"], out["fake_RT_B"]]
+            else:  # CycleGAN: real_A|fake_B|real_B|fake_A (cyclegan.py:342)
+                stacks = [batch["A"], out["fake_B"], batch["B"], out["fake_A"]]
             stacks = [np.asarray(s) for s in stacks]
             for i in range(stacks[0].shape[0]):
                 save_image_grid(

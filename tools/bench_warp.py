@@ -1,5 +1,9 @@
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np
+
+print("warp formulation:", "v1 (3-transpose)" if
+      os.environ.get("TFCGAN_WARP_V1", "0").lower() in ("1", "true")
+      else "v2 (NHWC stride=C)", flush=True)
 from tfcgan_tpu import ops
 from tfcgan_tpu.ops.pallas_kernels import warp_affine_separable
 
