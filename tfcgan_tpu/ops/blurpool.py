@@ -129,22 +129,54 @@ def blur_pool_zerofix(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.
     kw = jnp.broadcast_to(w1[None, :, None, None], (1, 4, 1, c))
     kh = jnp.broadcast_to(w1[:, None, None, None], (4, 1, 1, c))
 
+    # Border corrections via static slices + one concat per axis. The
+    # original `x[:, rows]` / `y.at[:, o].add(...)` forms lowered to
+    # gather + full-tensor copy + scatter-add per site — profiled at
+    # ~62 ms/step of the stn b32 step (39.5 copy + 22.6 gather, round-5
+    # trace) across the D/G blur sites; slices and concats fuse instead.
+    def grouped(pairs):
+        by_o: dict[int, list] = {}
+        for o, r, a in pairs:
+            by_o.setdefault(o, []).append((r, a))
+        return by_o
+
+    def reassemble(y, axis, by_o, corr_of):
+        """y + corrections at rows/cols o, as zero-pad + add: the pad fuses
+        into the add's epilogue (no gather/scatter/concat rewrite of y) and
+        its transpose is a slice."""
+        total = None
+        for o in sorted(by_o):
+            cfg = [(0, 0)] * y.ndim
+            cfg[axis] = (o, y.shape[axis] - o - 1)
+            p = jnp.pad(corr_of(o), cfg)
+            total = p if total is None else total + p
+        return y + total
+
     # Fh(Zw x): restore dropped H-taps of the W-zero-conv at border out rows
-    hp = _fix_pairs(h, stride)
-    rows = sorted({r for _, r, _ in hp})
-    zr = dw(x[:, rows], kw, (1, stride), ((0, 0), (1, 2)))  # (n,|R|,w_out,c)
-    for o, r, a in hp:
-        y = y.at[:, o].add(w1[a] * zr[:, rows.index(r)])
+    hp = grouped(_fix_pairs(h, stride))
+    rows = sorted({r for rs in hp.values() for r, _ in rs})
+    x_rows = jnp.concatenate([x[:, r : r + 1] for r in rows], axis=1)
+    zr = dw(x_rows, kw, (1, stride), ((0, 0), (1, 2)))  # (n,|R|,w_out,c)
+
+    def corr_row(o):
+        i = lambda r: rows.index(r)
+        return sum(w1[a] * zr[:, i(r) : i(r) + 1] for r, a in hp[o])
+
+    y = reassemble(y, 1, hp, corr_row)
 
     # Bh(Fw x): dropped W-taps feed border out cols, then take the FULL
     # reflect H-blur (pad rows (1,2) reflect + valid conv)
-    wp = _fix_pairs(w, stride)
-    cols = sorted({ci for _, ci, _ in wp})
-    xc = jnp.pad(x[:, :, cols], ((0, 0), (1, 2), (0, 0), (0, 0)), mode="reflect")
+    wp = grouped(_fix_pairs(w, stride))
+    cols = sorted({ci for cs in wp.values() for ci, _ in cs})
+    x_cols = jnp.concatenate([x[:, :, ci : ci + 1] for ci in cols], axis=2)
+    xc = jnp.pad(x_cols, ((0, 0), (1, 2), (0, 0), (0, 0)), mode="reflect")
     bc = dw(xc, kh, (stride, 1), ((0, 0), (0, 0)))  # (n,h_out,|C|,c)
-    for q, ci, a in wp:
-        y = y.at[:, :, q].add(w1[a] * bc[:, :, cols.index(ci)])
-    return y
+
+    def corr_col(q):
+        i = lambda ci: cols.index(ci)
+        return sum(w1[a] * bc[:, :, i(ci) : i(ci) + 1] for ci, a in wp[q])
+
+    return reassemble(y, 2, wp, corr_col)
 
 
 def blur_pool_padded(x: jax.Array, stride: int = 2, filt_size: int = 4) -> jax.Array:

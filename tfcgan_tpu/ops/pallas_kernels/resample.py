@@ -228,7 +228,14 @@ def _call_rowwise(kernel, out_shape, x, p, q, *extra):
     extra = tuple(
         jnp.pad(e, ((0, rp - r), (0, wp - e.shape[1]))) for e in extra
     )
+    # Row tile scaled by lane width: the kernel's live set is ~O(20) buffers
+    # of (tile, wp) f32 — tile*wp beyond ~64k lanes-rows blows the 16 MB
+    # scoped VMEM (observed: tile 256 x 768 lanes = 18.2M stack on v5e).
     tile = 256 if rp % 256 == 0 else 8
+    while tile > 8 and tile * wp > 256 * 256:
+        tile //= 2
+    while rp % tile:
+        tile //= 2  # rp is a multiple of 8, so tile >= 8 always divides
     in_specs = [pl.BlockSpec((tile, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]

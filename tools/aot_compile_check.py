@@ -64,6 +64,10 @@ try:
           f"gen code {ma.generated_code_size_in_bytes/2**20:.1f} MiB", flush=True)
 except Exception as e:
     print("memory_analysis fields:", ma, e)
+if os.environ.get("DUMP_HLO"):
+    with open(os.environ["DUMP_HLO"], "w") as f:
+        f.write(compiled.as_text())
+    log(f"optimized HLO -> {os.environ['DUMP_HLO']}")
 ca = compiled.cost_analysis()
 if ca:
     c = ca[0] if isinstance(ca, (list, tuple)) else ca
