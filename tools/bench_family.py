@@ -25,7 +25,8 @@ DEFAULTS = {
     "fft_patch_16": (256, 96),
     "fft_glo_16p": (256, 96),
     "stn_newmodel3": (256, 32),
-    "thermalgan": (256, 64),   # b16 was occupancy-bound: 558.7 -> 737.5 img/s
+    "thermalgan": (256, 128),  # occupancy-bound ladder: b16 558.7, b64 737.5,
+    # b128 959.2 img/s; b192 regresses to 867.9 (round 5)
     "cyclegan": (128, 16),
     # +2% over b16 (385.2 vs 377.2) — within run-to-run variance; b64 kept
     # only because it is the batch the published BASELINE.md row was measured
