@@ -70,6 +70,35 @@ class TestCLI:
         assert parser_calls.get("fn")
 
 
+class TestPrepMorphs:
+    def test_writes_morph_views(self, tmp_path):
+        """Reconstructed morph_plots.py (TFC-STN/evaluation/make_morphs.sh:3
+        invokes it but the file is missing upstream): 1 - morph gradient of
+        each PNG, the map the STN morph triplet trains on."""
+        import numpy as np
+        from PIL import Image
+
+        from tfcgan_tpu.cli import main
+        from tfcgan_tpu.data.synth import _face_scene
+
+        src = tmp_path / "in"
+        src.mkdir()
+        scenes = _face_scene(np.random.RandomState(3), 2, 64) * 255.0
+        for i, s in enumerate(scenes):
+            Image.fromarray(np.repeat(s[..., None], 3, -1).astype(np.uint8)
+                            ).save(src / f"{i:05d}.png")
+        out = tmp_path / "morphs"
+        main(["prep-morphs", "--cpu", "--in-dir", str(src), "--out-dir", str(out)])
+        import os
+
+        assert sorted(os.listdir(out)) == ["00000.png", "00001.png"]
+        m = np.asarray(Image.open(out / "00000.png"))
+        orig = np.asarray(Image.open(src / "00000.png"))
+        assert m.shape == orig.shape and m.dtype == np.uint8
+        # flat regions -> morph gradient 0 -> m saturates at 255; edges dark
+        assert m.max() == 255 and m.min() < 200
+
+
 class TestBalancedMixtureConfigs:
     def test_ed_without_extra_root_raises_clear_error(self, tmp_path):
         # triptemp_ed/_ea need two dataset roots; launching with one must fail

@@ -346,6 +346,32 @@ def cmd_prep_crop(args):
     print(f"cropped {n} stacks -> {args.out_root}")
 
 
+def cmd_prep_morphs(args):
+    """Morphological-gradient views for qualitative registration eval.
+
+    Reconstructs the `morph_plots.py` that `TFC-STN/evaluation/make_morphs.sh:3`
+    invokes but which is MISSING from the reference repo (same situation as
+    cyclegan's absent utils.py): renders m(x) = 1 − morphological_gradient(x)
+    — the exact map the STN's morph triplet trains on
+    (`TFCGAN_STN21_Original_NewModel3_Official.py:444-459`) — for every PNG
+    in a directory, so registered/unregistered edge structure can be
+    compared by eye."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tfcgan_tpu import ops
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(args.in_dir) if f.endswith(".png"))
+    for f in files:
+        img = np.asarray(Image.open(os.path.join(args.in_dir, f)).convert("RGB"))
+        x = jnp.asarray(img[None], jnp.float32) / 127.5 - 1.0
+        m = 1.0 - ops.morphological_gradient(x)
+        u8 = np.clip((np.asarray(m)[0] * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(u8).save(os.path.join(args.out_dir, f))
+    print(f"morph plots for {len(files)} images -> {args.out_dir}")
+
+
 def cmd_gallery(args):
     from tfcgan_tpu.evaluation.gallery import write_gallery
 
@@ -426,6 +452,11 @@ def main(argv=None):
              "dbcnn) — the IQA.sh stage of the reference eval protocol",
     )
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("prep-morphs", parents=[hostable])
+    sp.add_argument("--in-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_prep_morphs)
 
     sp = sub.add_parser("eval-reg", parents=[hostable])
     sp.add_argument("--real-a-dir", required=True)
