@@ -28,10 +28,8 @@ DEFAULTS = {
     "thermalgan": (256, 128),  # occupancy-bound ladder: b16 558.7, b64 737.5,
     # b128 959.2 img/s; b192 regresses to 867.9 (round 5)
     "cyclegan": (128, 16),
-    # +2% over b16 (385.2 vs 377.2) — within run-to-run variance; b64 kept
-    # only because it is the batch the published BASELINE.md row was measured
-    # at. Use --batch 16 for a cheaper probe (4x less step time/memory).
-    "nemar": (128, 64),
+    # batch ladder (round 5): b16 377, b64 386.9, b128 454.6, b256 422.2
+    "nemar": (128, 128),
     "tfc_diff": (128, 32),
 }
 
