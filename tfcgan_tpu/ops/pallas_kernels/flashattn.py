@@ -46,8 +46,15 @@ _BK = 128  # key rows per dkv invocation (4 (BK,S) fp32 slabs live in VMEM)
 
 
 def flash_attention_supported(seq: int, head_dim: int) -> bool:
-    """Shapes the kernel handles; callers fall back to the XLA path otherwise."""
-    return seq % _BQ == 0 and seq >= _BQ and head_dim <= 128
+    """Shapes the kernel handles; callers fall back to the XLA path otherwise.
+
+    Upper bound: the fwd kernel keeps (BQ, S) fp32 score/softmax slabs in
+    VMEM — S=16384 (a 256^2 input at the UNet's top attention block)
+    measured 17.09M of the 16M scoped-vmem budget on v5e (round 5). 4096 is
+    the validated shape (tools/aot_flashattn.py); 8192 AOT-compiles with
+    margin. Beyond that the chunked-XLA path takes over.
+    """
+    return seq % _BQ == 0 and _BQ <= seq <= 8192 and head_dim <= 128
 
 
 def _dot_dd(a, b):  # (D, M)ᵀ(D, N) -> (M, N): contract sublane dim

@@ -21,7 +21,7 @@ from tfcgan_tpu.recipes import build_recipe
 from tfcgan_tpu.train.trainer import Trainer
 
 B = int(os.environ.get("B", "128"))
-SIZE = 256
+SIZE = int(os.environ.get("SIZE", "256"))
 OUT = os.environ.get("TRACE_DIR", "/tmp/step_trace")
 EXP = os.environ.get("EXP", "fft_glo")
 
