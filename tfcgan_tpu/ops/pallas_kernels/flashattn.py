@@ -36,6 +36,7 @@ Mosaic lowering by the tfc_diff AOT check.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,69 @@ def _dot_ss(a, b):  # (D, S)·(M, S)ᵀ -> (D, M): contract lane dim
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+def _mm_small_d(at, b):
+    """(M, D)·(D, N) -> (M, N) as D broadcast-FMAs on the VPU.
+
+    diffusers' head_dim=8 makes the MXU form a 16x-underutilized 8-deep
+    systolic contraction (~7.6 TF/s effective, BASELINE round 5); this
+    replaces it with D column-x-row FMAs. ``at`` carries the contraction
+    dim on LANES (M, D), ``b`` on SUBLANES (D, N) — the natural layouts of
+    the transposed/original operands, so no in-kernel transposes. Measured
+    SLOWER in practice (see _use_vpu_qk) — the slab re-walks dominate."""
+    d = at.shape[1]
+    acc = None
+    for i in range(d):
+        t = at[:, i : i + 1].astype(jnp.float32) * b[i : i + 1, :].astype(jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _fwd_kernel_vpu(qt_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    qt = qt_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (D, S)
+    s = _mm_small_d(qt, k) * scale  # (BQ, S) fp32, lives only in VMEM
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    pn = (p / l).astype(v_ref.dtype)
+    o_ref[0] = _dot_ss(v_ref[0], pn).astype(o_ref.dtype)  # (D, BQ)
+    lse_ref[0] = (m + jnp.log(l)).reshape(1, -1)
+
+
+def _dq_kernel_vpu(qt_ref, k_ref, v_ref, dot_ref, lse_ref, di_ref, dq_ref, *, scale):
+    qt, k, v, dot = qt_ref[0], k_ref[0], v_ref[0], dot_ref[0]
+    s = _mm_small_d(qt, k) * scale          # (BQ, S)
+    p = jnp.exp(s - lse_ref[0].reshape(-1, 1))
+    dp = _mm_small_d(dot, v)                # (BQ, S)
+    ds = p * (dp - di_ref[0].reshape(-1, 1)) * scale
+    dq_ref[0] = _dot_ss(k, ds).astype(dq_ref.dtype)  # (D, BQ)
+
+
+def _dkv_kernel_vpu(q_ref, kt_ref, vt_ref, do_ref, lse_ref, di_ref, dk_ref,
+                    dv_ref, *, scale):
+    q, kt, vt, do = q_ref[0], kt_ref[0], vt_ref[0], do_ref[0]
+    st = _mm_small_d(kt, q) * scale         # (BK, S) — scores transposed
+    pt = jnp.exp(st - lse_ref[0])           # lse broadcasts over key rows
+    dv_ref[0] = _dot_ss(do, pt.astype(do.dtype)).astype(dv_ref.dtype)
+    dpt = _mm_small_d(vt, do)               # (BK, S)
+    dst = pt * (dpt - di_ref[0]) * scale
+    dk_ref[0] = _dot_ss(q, dst).astype(dk_ref.dtype)  # (D, BK)
+
+
+def _use_vpu_qk(d: int) -> bool:
+    """OPT-IN (TFCGAN_FLASH_VPU=1) — measured WORSE on v5e (round 5):
+    at (BH=256, S=4096, D=8) fwd 28.6 vs 18.0 ms, fwd+bwd 89.9 vs 50.8.
+    The D broadcast-FMA formulation walks the (BQ, S) fp32 slab D times
+    (8x the VMEM traffic of the single MXU write), which costs more than
+    the 16x-padded 8-deep systolic contraction it avoids. Kept because the
+    trade flips for larger slabs-per-byte ratios (future chips / wider D
+    where the MXU pad factor shrinks the other way)."""
+    env = os.environ.get("TFCGAN_FLASH_VPU", "0").lower()
+    if env in ("auto", ""):
+        return d <= 16
+    return env not in ("0", "false")
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
@@ -116,12 +180,26 @@ def _flash(q, k, v, scale, interpret):
 def _flash_fwd_impl(q, k, v, scale, interpret):
     bh, d, s = q.shape
     qs, ks, rs = _specs(d, s, _BQ)
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
+    ]
+    if _use_vpu_qk(d):
+        # Q transposed host-side so its contraction dim rides on lanes;
+        # one cheap XLA relayout per call, no in-kernel transposes.
+        qts = pl.BlockSpec((1, _BQ, d), lambda b, i: (b, i, 0))
+        o, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_vpu, scale=scale),
+            out_shape=out_shape,
+            grid=(bh, s // _BQ),
+            in_specs=[qts, ks, ks],
+            out_specs=[qs, rs],
+            interpret=interpret,
+        )(jnp.swapaxes(q, 1, 2), k, v)
+        return o, lse
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
-        ],
+        out_shape=out_shape,
         grid=(bh, s // _BQ),
         in_specs=[qs, ks, ks],
         out_specs=[qs, rs],
@@ -143,6 +221,30 @@ def _flash_vjp_bwd(scale, interpret, res, do):
                  axis=1, keepdims=True)  # (BH, 1, S)
     qs, ks, rs = _specs(d, s, _BQ)
     full_r = pl.BlockSpec((1, 1, s), lambda b, i: (b, 0, 0))
+    kt = pl.BlockSpec((1, d, _BK), lambda b, j: (b, 0, j))
+    if _use_vpu_qk(d):
+        qts = pl.BlockSpec((1, _BQ, d), lambda b, i: (b, i, 0))
+        ktt = pl.BlockSpec((1, _BK, d), lambda b, j: (b, j, 0))
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel_vpu, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            grid=(bh, s // _BQ),
+            in_specs=[qts, ks, ks, qts, rs, rs],
+            out_specs=qs,
+            interpret=interpret,
+        )(jnp.swapaxes(q, 1, 2), k, v, jnp.swapaxes(do, 1, 2), lse, di)
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel_vpu, scale=scale),
+            out_shape=[
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            grid=(bh, s // _BK),
+            in_specs=[ks, ktt, ktt, ks, full_r, full_r],
+            out_specs=[kt, kt],
+            interpret=interpret,
+        )(q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), do, lse, di)
+        return dq, dk, dv
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -151,7 +253,6 @@ def _flash_vjp_bwd(scale, interpret, res, do):
         out_specs=qs,
         interpret=interpret,
     )(q, k, v, do, lse, di)
-    kt = pl.BlockSpec((1, d, _BK), lambda b, j: (b, 0, j))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale),
         out_shape=[
