@@ -133,6 +133,16 @@ def _use_vpu_qk(d: int) -> bool:
     return env not in ("0", "false")
 
 
+def _use_fused_bwd() -> bool:
+    """Default ON (TFCGAN_FLASH_FUSED_BWD=0 restores the two-kernel form).
+
+    Measured on v5e at up1's (BH=256, S=4096, D=8): fwd+bwd 51.0 -> 38.2 ms
+    (tools/bench_flashattn.py) — the fused kernel computes the score slab
+    once instead of twice and loads K/V from HBM once per query block
+    instead of twice."""
+    return os.environ.get("TFCGAN_FLASH_FUSED_BWD", "1") not in ("0", "false")
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
     q = q_ref[0]  # (D, BQ)
     k = k_ref[0]  # (D, S)
@@ -143,6 +153,44 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
     pn = (p / l).astype(v_ref.dtype)  # cast as the XLA path casts post-softmax
     o_ref[0] = _dot_ss(v_ref[0], pn).astype(o_ref.dtype)  # (D, BQ)
     lse_ref[0] = (m + jnp.log(l)).reshape(1, -1)
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale):
+    """One grid step = dq for query block i PLUS this block's dk/dv partials.
+
+    The unfused form (two kernels below) recomputes the (rows, S) score slab
+    twice — once tiled over queries for dq, once tiled over keys for dk/dv —
+    and walks the K/V slabs from HBM in both. Here the p/ds tiles computed
+    for dq are reused for dk/dv via the transposed contractions
+    ``dk += q_i·ds`` / ``dv += do_i·p`` (contract the query-block dim), with
+    the (D, S) accumulators held in fp32 VMEM across the sequential i-loop
+    (same output block index for every i → Mosaic keeps them resident and
+    flushes once per b). Accumulating in fp32 matches the unfused kernels'
+    single-fp32-dot-then-cast precision.
+    """
+    i = pl.program_id(1)
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = _dot_dd(q, k) * scale               # (BQ, S)
+    p = jnp.exp(s - lse_ref[0].reshape(-1, 1))
+    dp = _dot_dd(do, v)                     # (BQ, S)
+    ds = p * (dp - di_ref[0].reshape(-1, 1)) * scale
+    dq_ref[0] = _dot_ss(k, ds).astype(dq_ref.dtype)  # (D, BQ)
+    # (D, BQ)·(BQ, S) -> (D, S): contract the query-block dim
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dkp = mm(q, ds)
+    dvp = mm(do, p.astype(do.dtype))
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dkp
+        dv_ref[0] = dvp
+
+    @pl.when(i > 0)
+    def _acc():
+        dk_ref[0] += dkp
+        dv_ref[0] += dvp
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, scale):
@@ -245,6 +293,25 @@ def _flash_vjp_bwd(scale, interpret, res, do):
             interpret=interpret,
         )(q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), do, lse, di)
         return dq, dk, dv
+    if _use_fused_bwd():
+        # The fused kernel's (bq, S) fp32 slabs exceed the 16 MB scoped-VMEM
+        # budget at S=8192 with bq=256 (16.63M, AOT-measured); halve the
+        # query block there — slab cost scales with bq·S.
+        bq = _BQ if s <= 4096 else _BQ // 2
+        qs_f, _, rs_f = _specs(d, s, bq)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale),
+            out_shape=[
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct(k.shape, jnp.float32),
+                jax.ShapeDtypeStruct(v.shape, jnp.float32),
+            ],
+            grid=(bh, s // bq),
+            in_specs=[qs_f, ks, ks, qs_f, rs_f, rs_f],
+            out_specs=[qs_f, ks, ks],
+            interpret=interpret,
+        )(q, k, v, do, lse, di)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),

@@ -35,7 +35,7 @@ def loss_xla(q, k, v):
     return jnp.sum(jnp.einsum("bqk,bdk->bdq", p, v).astype(jnp.float32) ** 2)
 
 
-for bh, d, s in [(128, 8, 4096), (128, 8, 1024)]:  # b16 × 8 heads
+for bh, d, s in [(128, 8, 4096), (128, 8, 1024), (32, 8, 8192)]:  # b16 × 8 heads; 8192 = the supported() upper bound
     av = jax.ShapeDtypeStruct((bh, d, s), jnp.bfloat16)
     row = f"BH={bh} D={d} S={s}:"
     for name, fn in [("flash", loss_flash), ("xla", loss_xla)]:
